@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.oracle.OracleBm25
+import graft.query.Searcher
+
+/** spark-submit entry point — the analog of the reference launcher
+  * (`main --config`, psi/apps/psi_launcher/main.cc:59-105).
+  *
+  * Subcommands:
+  *   gen    --docs N [--seed S] --out DIR          synthesize the corpus
+  *   build  --corpus DIR --index DIR [--docsPerShard N] [--stopAfter STAGE]
+  *   query  --index DIR --q "TERMS" [--k K] [--oracle CORPUS_DIR]
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.drop(1).sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def session(name: String): SparkSession = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")
+    val b = SparkSession.builder().appName(name)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    // under spark-submit the master comes from the submit command; standalone
+    // runs (sbt run) fall back to local
+    val withMaster = if (sys.props.contains("spark.master")) b else b.master(master)
+    val s = withMaster.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: gen|build|query [--flag value ...]")
+    val opts = parseArgs(args)
+    args(0) match {
+      case "gen" =>
+        val spark = session("psispark-gen")
+        val cfg = CorpusGen.Config(
+          numDocs = opts("docs").toLong,
+          seed = opts.getOrElse("seed", "42").toLong)
+        val t0 = System.nanoTime()
+        CorpusGen.writeCorpus(spark, cfg, opts("out"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"generated ${cfg.numDocs} docs in $sec%.1f s -> ${opts("out")}")
+        spark.stop()
+
+      case "build" =>
+        val spark = session("psispark-build")
+        val cfg = IndexConfig(
+          docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
+          stopAfterStage = opts.getOrElse("stopAfter", ""))
+        val t0 = System.nanoTime()
+        val meta = IndexBuilder.build(spark, opts("corpus"), opts("index"), cfg)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (meta == null)
+          println(s"stopped after stage '${cfg.stopAfterStage}' (checkpoint test mode)")
+        else {
+          val tput = meta.numDocs / sec
+          println(f"built index: ${meta.numDocs} docs, ${meta.numTerms} terms, " +
+            f"${meta.numSegments} segments, ${meta.totalTokens} postings " +
+            f"in $sec%.1f s ($tput%.0f files/sec)")
+        }
+        spark.stop()
+
+      case "query" =>
+        val spark = session("psispark-query")
+        val searcher = new Searcher(spark, opts("index"))
+        val q = opts("q")
+        val k = opts.getOrElse("k", "10").toInt
+        val t0 = System.nanoTime()
+        val hits = searcher.search(q, k).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"query '$q' top-$k in $ms%.0f ms " +
+          s"(scored=${searcher.candidatesScored.value} pruned=${searcher.candidatesPruned.value} " +
+          s"shards=${searcher.shardsTouched.value})")
+        hits.foreach(h => println(f"  doc=${h.docId}%-8d score=${h.score}%.6f"))
+        opts.get("oracle").foreach { corpusDir =>
+          val files = spark.read.parquet(s"$corpusDir/files.parquet")
+          val want = OracleBm25.topK(files, q, k).collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val got = hits.map(h => (h.docId, h.score))
+          val ok = got.sameElements(want)
+          println(if (ok) s"ORACLE MATCH: rank-identical (${got.length} hits)"
+                  else s"ORACLE MISMATCH:\n  got  ${got.toSeq}\n  want ${want.toSeq}")
+          if (!ok) sys.exit(3)
+        }
+        spark.stop()
+
+      case other => sys.error(s"unknown subcommand: $other")
+    }
+  }
+}

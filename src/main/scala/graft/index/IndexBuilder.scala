@@ -1,0 +1,347 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+import graft._
+
+/** Build configuration — the analog of the reference's declarative
+  * `PsiConfig` (psi/proto/psi_v2.proto:320-397).
+  *
+  * @param docsPerShard docId-range shard width. The shard IS the hot-term
+  *   salt: a term with df >> docsPerShard is split across ceil(N/docsPerShard)
+  *   shards, bounding every (term, shard) posting run — the same job the
+  *   reference's bucket-count negotiation does
+  *   (`NegotiateBucketNum`, psi/utils/bucket.cc:141-168, bucket_size 2^20).
+  * @param buildPartitions width of the wide shuffles (0 = session
+  *   spark.sql.shuffle.partitions).
+  * @param verifySha enforce the per-row `sha256(content)` invariant against
+  *   the corpus sidecar (input_hint; reference analog
+  *   psi/utils/csv_checker.cc:104).
+  */
+case class IndexConfig(docsPerShard: Int = 1 << 12,
+                       buildPartitions: Int = 0,
+                       k1: Double = 1.2,
+                       b: Double = 0.75,
+                       verifySha: Boolean = true,
+                       stopAfterStage: String = "") {
+  def fingerprint: String =
+    CorpusFp.sha(s"v1|$docsPerShard|$k1|$b|$verifySha")
+}
+
+private object CorpusFp {
+  def sha(s: String): String = graft.corpus.CorpusGen.sha256Hex(s)
+}
+
+/** Index metadata persisted as `meta.json`; written last = publish marker. */
+case class IndexMeta(numDocs: Long, totalTokens: Long, avgdl: Double,
+                     k1: Double, b: Double, docsPerShard: Int,
+                     numTerms: Long, numSegments: Long, fingerprint: String)
+
+/** Staged, resumable inverted-index build (SURVEY.md §3.1 build-job trace).
+  *
+  * Stages (each materialized, committed by a `_stage_<name>.json` marker; a
+  * rerun skips stages whose marker carries the same config fingerprint — the
+  * analog of the reference's `RecoveryCheckpoint` stage enum + safe-point
+  * resume, psi/checkpoint/recovery.h:37-121):
+  *
+  *   docs      corpus → dup-key reject + sha256 verify + deterministic dense
+  *             docId assignment (total order of (repo,path,commit), two-pass
+  *             range-sort + partition offsets — no global window, no RDD)
+  *   tf        tokenize + (term, docId) term frequencies      [wide shuffle 1]
+  *   doclen    per-doc token counts (dlen = Σ tf)
+  *   docs_meta docs table + per-shard packed dlen arrays
+  *   dict      term dictionary (df, cf)
+  *   segments  (term, shard) compressed posting runs           [wide shuffle 2,
+  *             repartition(term, shard) = hash bucket spill analog,
+  *             psi/utils/hash_bucket_cache.cc:49-61] + per-partition lineage
+  *   publish   global sort-merge pass into query layout, meta.json commit
+  */
+object IndexBuilder {
+
+  def build(spark: SparkSession, corpusDir: String, indexDir: String,
+            cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(indexDir))
+    val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val fp = cfg.fingerprint
+    val stages = new StageTracker(indexDir, fp, cfg.stopAfterStage)
+
+    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val keyCols = Seq("repo", "path", "commit")
+
+    // ---- stage: docs (validate + assign docIds) -------------------------
+    stages.run("docs") {
+      // duplicate composite keys are rejected, like the reference's
+      // duplicated-key config check (psi/interface.cc:218-220)
+      val dups = files.groupBy(keyCols.map(col): _*).count().filter($"count" > 1).count()
+      require(dups == 0, s"$dups duplicate (repo,path,commit) keys in corpus")
+      if (cfg.verifySha) {
+        val mismatches = files
+          .select(col("repo"), col("path"), col("commit"),
+            sha2(col("content"), 256).as("got_sha"))
+          .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols)
+          .filter($"got_sha" =!= $"ref_sha256")
+          .count()
+        require(mismatches == 0, s"$mismatches rows fail the sha256(content) invariant")
+      }
+      // deterministic dense docIds: global total order of the composite key
+      // via range partition + local sort, then per-partition offsets
+      // (two-pass; the scalable alternative to a single-partition window —
+      // mirrors KeyInfo.start_index from sorted position,
+      // psi/utils/table_utils.cc:333-347)
+      val sortedKeys = files.select(keyCols.map(col): _*)
+        .repartitionByRange(P, col("repo"), col("path"), col("commit"))
+        .sortWithinPartitions("repo", "path", "commit")
+        .as[(String, String, String)]
+        .persist()
+      val counts = sortedKeys.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap
+      val offsets = {
+        var acc = 0L
+        (0 until P).map { pid =>
+          val o = pid -> acc; acc += counts.getOrElse(pid, 0L); o
+        }.toMap
+      }
+      val mapping = sortedKeys.mapPartitions { it =>
+        var next = offsets(TaskContext.getPartitionId())
+        it.map { case (r, p, c) => val id = next; next += 1; (r, p, c, id) }
+      }.toDF("repo", "path", "commit", "docId")
+      // canonical docId-keyed corpus copy (read by every later stage; the
+      // one place content is shuffled)
+      files.withColumn("sha256", sha2(col("content"), 256))
+        .join(mapping, keyCols)
+        .select("docId", "repo", "path", "commit", "lang", "sha256", "content")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs_raw.parquet")
+      sortedKeys.unpersist()
+    }
+    if (stages.stopped) return null
+    def docsRaw = spark.read.parquet(s"$indexDir/docs_raw.parquet")
+
+    // ---- stage: tf -------------------------------------------------------
+    stages.run("tf") {
+      docsRaw
+        .select(col("docId"), explode(Tokenize.termsCol(col("content"))).as("term"))
+        .groupBy("term", "docId")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .repartition(P, col("term"), col("docId"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/tf.parquet")
+    }
+    if (stages.stopped) return null
+    def tf = spark.read.parquet(s"$indexDir/tf.parquet")
+
+    // ---- stage: doclen ---------------------------------------------------
+    stages.run("doclen") {
+      tf.groupBy("docId").agg(sum($"tf").cast("int").as("dlen"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/doclen.parquet")
+    }
+    if (stages.stopped) return null
+    def doclen = spark.read.parquet(s"$indexDir/doclen.parquet")
+
+    val numDocs = docsRaw.count()
+    val dps = cfg.docsPerShard
+
+    // ---- stage: docs_meta (docs table + packed per-shard dlens) ----------
+    stages.run("docs_meta") {
+      docsRaw.drop("content")
+        .join(doclen, Seq("docId"), "left")
+        .na.fill(0, Seq("dlen"))
+        .select($"docId", $"repo", $"path", $"commit", $"lang",
+          $"dlen".cast("int"), $"sha256")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.parquet")
+      val nd = numDocs
+      spark.read.parquet(s"$indexDir/docs.parquet")
+        .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
+        .as[(Long, Int, Int)]
+        .groupByKey(_._3)
+        .mapGroups { (shard, it) =>
+          val first = shard.toLong * dps
+          val size = math.min(dps.toLong, nd - first).toInt
+          val lens = new Array[Int](size)
+          it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
+          ShardLens(shard, first, lens)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dlens.parquet")
+    }
+    if (stages.stopped) return null
+
+    // ---- stage: dict ------------------------------------------------------
+    stages.run("dict") {
+      tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+        .as[TermStat]
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict.parquet")
+    }
+    if (stages.stopped) return null
+
+    val totalTokens = doclen.agg(sum($"dlen")).as[Long].head()
+    val avgdl = totalTokens.toDouble / numDocs
+
+    // ---- stage: segments (wide shuffle 2 + per-partition lineage) --------
+    stages.run("segments") {
+      val acc: CollectionAccumulator[PartitionManifest] =
+        spark.sparkContext.collectionAccumulator[PartitionManifest]("segmentManifests")
+      val (k1, b, ad) = (cfg.k1, cfg.b, avgdl)
+      val segs = tf
+        .join(doclen, "docId")
+        .select($"term", $"docId", $"tf".cast("int"),
+          $"dlen".cast("int"), (($"docId" / dps).cast("int")).as("shard"))
+        .as[(String, Long, Int, Int, Int)]
+        // hot-term defusal: partition by (term, shard) — shard is the
+        // docId-range salt, so no single partition ever holds a whole hot
+        // term's postings (SURVEY.md §4 skew row)
+        .repartition(P, $"term", $"shard")
+        .sortWithinPartitions($"term", $"shard", $"docId")
+        .mapPartitions { it =>
+          val t0 = System.nanoTime()
+          var rows = 0L; var postings = 0L; var bytes = 0L
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+          val out = new Iterator[PostingSeg] {
+            val buf = it.buffered
+            def hasNext: Boolean = buf.hasNext
+            def next(): PostingSeg = {
+              val (term, _, _, _, shard) = buf.head
+              val docs = Array.newBuilder[Long]
+              val tfs = Array.newBuilder[Int]
+              val dls = Array.newBuilder[Int]
+              while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+                val (_, d, f, dl, _) = buf.next()
+                docs += d; tfs += f; dls += dl
+                rows += 1
+              }
+              val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, ad)
+              val seg = PostingSeg(term, shard, da.length,
+                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+              postings += da.length
+              bytes += seg.docBytes.length + seg.tfBytes.length
+              digest.update(term.getBytes(StandardCharsets.UTF_8))
+              digest.update(seg.docBytes); digest.update(seg.tfBytes)
+              seg
+            }
+          }
+          new Iterator[PostingSeg] {
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h && rows >= 0) { // emit lineage once, at exhaustion
+                acc.add(PartitionManifest("segments", TaskContext.getPartitionId(),
+                  rows, postings, bytes,
+                  digest.digest().map(x => f"$x%02x").mkString,
+                  (System.nanoTime() - t0) / 1000000))
+                rows = -1
+              }
+              h
+            }
+            def next(): PostingSeg = out.next()
+          }
+        }
+      segs.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/segments.parquet")
+      // per-partition lineage manifest (RecoveryCheckpoint/PsiResultReport analog)
+      val entries = acc.value
+      import scala.jdk.CollectionConverters._
+      val manifest = entries.asScala.toSeq.sortBy(_.partition)
+      spark.createDataset(manifest)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/manifests/segments.parquet")
+      Metrics.writeJson(s"$indexDir/manifests/segments.json", manifest)
+    }
+    if (stages.stopped) return null
+
+    // ---- stage: publish (sort-merge into query layout) --------------------
+    stages.run("publish") {
+      // global sort by (term, shard): parquet row groups become term-ranged,
+      // so a query-time `term IN (...)` filter prunes row groups — the
+      // external-sort analog of MultiKeySort (psi/utils/key.cc:122-183)
+      spark.read.parquet(s"$indexDir/segments.parquet")
+        .repartitionByRange(P, col("term"), col("shard"))
+        .sortWithinPartitions("term", "shard")
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    }
+    if (stages.stopped) return null
+
+    val numTerms = spark.read.parquet(s"$indexDir/dict.parquet").count()
+    val numSegments = spark.read.parquet(s"$indexDir/postings.parquet").count()
+    val meta = IndexMeta(numDocs, totalTokens, avgdl, cfg.k1, cfg.b,
+      cfg.docsPerShard, numTerms, numSegments, fp)
+    Metrics.writeMetaJson(s"$indexDir/meta.json", meta)
+    meta
+  }
+
+  def readMeta(indexDir: String): IndexMeta = Metrics.readMetaJson(s"$indexDir/meta.json")
+}
+
+/** Stage markers: `_stage_<name>.json` committed after the stage's output is
+  * fully written; rerun skips stages whose marker matches the config
+  * fingerprint. Partial stage output without a marker is invisible (it gets
+  * overwritten) — the write-to-temp / manifest-commit discipline of
+  * SURVEY.md §7.4 (4).
+  */
+class StageTracker(indexDir: String, fingerprint: String, stopAfter: String) {
+  var stopped = false
+  var skippedStages: List[String] = Nil
+  var ranStages: List[String] = Nil
+
+  private def markerPath(name: String) = Paths.get(s"$indexDir/_stage_$name.json")
+
+  def isDone(name: String): Boolean = {
+    val p = markerPath(name)
+    Files.exists(p) &&
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).contains(fingerprint)
+  }
+
+  def run(name: String)(body: => Unit): Unit = {
+    if (stopped) return
+    if (isDone(name)) { skippedStages ::= name }
+    else {
+      val t0 = System.nanoTime()
+      body
+      val ms = (System.nanoTime() - t0) / 1000000
+      Files.write(markerPath(name),
+        s"""{"stage":"$name","fingerprint":"$fingerprint","elapsedMs":$ms}"""
+          .getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      ranStages ::= name
+    }
+    if (name == stopAfter) stopped = true
+  }
+}
+
+/** Tiny hand-rolled JSON IO for meta + manifests (no extra deps allowed). */
+object Metrics {
+  def writeJson(path: String, ms: Seq[PartitionManifest]): Unit = {
+    val body = ms.map { m =>
+      s"""{"stage":"${m.stage}","partition":${m.partition},"rows":${m.rows},""" +
+        s""""postings":${m.postings},"bytesOut":${m.bytesOut},""" +
+        s""""sha256":"${m.sha256}","elapsedMs":${m.elapsedMs}}"""
+    }.mkString("[", ",", "]")
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def writeMetaJson(path: String, m: IndexMeta): Unit = {
+    val body =
+      s"""{"numDocs":${m.numDocs},"totalTokens":${m.totalTokens},"avgdl":${m.avgdl},""" +
+        s""""k1":${m.k1},"b":${m.b},"docsPerShard":${m.docsPerShard},""" +
+        s""""numTerms":${m.numTerms},"numSegments":${m.numSegments},""" +
+        s""""fingerprint":"${m.fingerprint}"}"""
+    Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readMetaJson(path: String): IndexMeta = {
+    val s = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    def f(k: String): String = {
+      val m = java.util.regex.Pattern.compile("\"" + k + "\":\"?([^,}\"]+)").matcher(s)
+      require(m.find(), s"missing $k in $path"); m.group(1)
+    }
+    IndexMeta(f("numDocs").toLong, f("totalTokens").toLong, f("avgdl").toDouble,
+      f("k1").toDouble, f("b").toDouble, f("docsPerShard").toInt,
+      f("numTerms").toLong, f("numSegments").toLong, f("fingerprint"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+/** Core row types of the psispark engine (SURVEY.md §1.3).
+  *
+  * The input table shape is fixed by the task: an Iceberg-shaped table of
+  * source-code files `(repo, path, commit, lang, content)` — the analog of the
+  * reference's all-utf8 CSV `Table` (psi/utils/table_utils.h:49-76). In this
+  * sandbox there is no Iceberg runtime on the classpath, so the table is
+  * materialized as parquet with exactly that schema.
+  */
+case class FileRow(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Document metadata after docID assignment — the analog of the reference's
+  * `KeyInfo` run table (key → start_index, psi/utils/table_utils.cc:274-278):
+  * a dense, deterministic long id derived from the total order of the
+  * composite key (repo, path, commit). `dlen` is the token count used by BM25.
+  */
+case class DocRow(docId: Long, repo: String, path: String, commit: String,
+                  lang: String, dlen: Int, sha256: String)
+
+/** (term, docId, tf) posting before compression. */
+case class TfRow(term: String, docId: Long, tf: Int)
+
+/** One compressed posting segment: all postings of `term` within docId shard
+  * `shard` (shard = docId / docsPerShard — the docId-range "salt" that splits
+  * hot terms across partitions, SURVEY.md §4 skew row). docIds are delta-gap +
+  * varbyte (`docBytes`), tfs varbyte (`tfBytes`); `blockFirst`/`blockMaxTfn`
+  * are per-128-posting block skip metadata (block-max).
+  */
+case class PostingSeg(term: String, shard: Int, n: Int,
+                      docBytes: Array[Byte], tfBytes: Array[Byte],
+                      blockFirst: Array[Long], blockMaxTfn: Array[Float])
+
+/** Term dictionary row (df = doc frequency, cf = collection frequency) — the
+  * analog of KeyInfo's per-key dup counts (psi/utils/table_utils.cc:280-374).
+  */
+case class TermStat(term: String, df: Long, cf: Long)
+
+/** Per-shard document lengths, docId-aligned: lens(i) is dlen of docId
+  * firstDocId + i. Kept as one compact row per shard so query-time scoring
+  * joins one small row per touched shard instead of shuffling the docs table.
+  */
+case class ShardLens(shard: Int, firstDocId: Long, lens: Array[Int])
+
+/** Search hit. */
+case class Hit(docId: Long, score: Double)
+
+/** Per-partition lineage record emitted by the segment builder — the analog of
+  * the reference's RecoveryCheckpoint counters + PsiResultReport
+  * (psi/checkpoint/checkpoint.proto:8-43, psi/utils/table_utils.proto:21-27).
+  */
+case class PartitionManifest(stage: String, partition: Int, rows: Long,
+                             postings: Long, bytesOut: Long, sha256: String,
+                             elapsedMs: Long)

@@ -1,0 +1,71 @@
+package graft.oracle
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.Tokenize
+
+/** Brute-force conjunctive BM25 with plain DataFrame ops — no index, no
+  * custom kernels. The trusted reference scorer, the analog of the
+  * reference's set-based test oracle (psi/utils/test_utils.h:40-51).
+  *
+  * Determinism contract shared with the engine (SURVEY.md §7.4 (1)):
+  *   - docId = rank in the total order of (repo, path, commit)
+  *   - per-doc score = Σ over query terms in ascending term order, in Double
+  *   - tiebreak: (score desc, docId asc)
+  * With identical (N, df, tf, dlen) longs both sides produce bit-identical
+  * doubles, so rank identity is exact, not approximate.
+  *
+  * Uses a global window for docIds — fine at test scale only; the engine uses
+  * the two-pass offset technique instead (SURVEY.md §2.5).
+  */
+object OracleBm25 {
+
+  def idf(numDocs: Long, df: Long): Double =
+    math.log(1.0 + (numDocs - df + 0.5) / (df + 0.5))
+
+  /** Top-k (docId, score) for an AND query. */
+  def topK(files: DataFrame, query: String, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (terms.isEmpty) return empty
+
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val tf = withId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val dlen = tf.groupBy("docId").agg(sum("tf").cast("int").as("dlen"))
+    val numDocs = files.count()
+    val totalTokens = dlen.agg(sum($"dlen")).as[Long].head()
+    val avgdl = totalTokens.toDouble / numDocs
+
+    val dfByTerm = tf.filter($"term".isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    if (terms.exists(t => !dfByTerm.contains(t))) return empty
+    val idfDf = broadcast(
+      terms.toSeq.map(t => (t, idf(numDocs, dfByTerm(t)))).toDF("term", "idf"))
+
+    val scored = tf.filter($"term".isin(terms: _*))
+      .join(dlen, "docId")
+      .join(idfDf, "term")
+      .withColumn("s",
+        ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
+          ($"tf".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
+
+    scored.groupBy("docId")
+      .agg(count(lit(1)).as("nTerms"),
+        aggregate(sort_array(collect_list(struct($"term", $"s"))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .filter($"nTerms" === terms.length)
+      .select("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+}

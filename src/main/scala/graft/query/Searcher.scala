@@ -1,0 +1,203 @@
+package graft.query
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft._
+import graft.index.{Codec, IndexBuilder, IndexMeta, Tokenize}
+
+/** Top-k conjunctive (AND) BM25 search over the compressed posting index.
+  *
+  * The PSI analog: a query is a multi-list intersection — the same dataflow as
+  * the reference's per-bucket dense-map probe
+  * (`GetIntersectionReceiver`, psi/algorithm/rr22/rr22_utils.cc:51-150) — done
+  * here as galloping intersection of delta-compressed posting lists inside
+  * `mapGroups` over a Catalyst-planned, predicate-pushed parquet scan. Shards
+  * are docId ranges, so all of a shard's lists are co-grouped and the
+  * intersection is embarrassingly parallel across shards with no posting
+  * re-shuffle of anything but the query's own (filtered) segments.
+  *
+  * Block-max pruning: each 128-posting block carries an admissible upper
+  * bound of the BM25 tf-normalization; a candidate is scored only if
+  * Σ_t idf_t·(k1+1)·blockMax_t can still beat the current k-th score —
+  * the WAND/BMW idea applied to the conjunctive traversal.
+  */
+class Searcher(spark: SparkSession, indexDir: String) {
+  import spark.implicits._
+
+  val meta: IndexMeta = IndexBuilder.readMeta(indexDir)
+  private val postings = spark.read.parquet(s"$indexDir/postings.parquet")
+  private val dlens = spark.read.parquet(s"$indexDir/dlens.parquet")
+  private val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+  private lazy val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+
+  // query metrics (north-rule lineage/metrics requirement)
+  val candidatesScored: LongAccumulator = spark.sparkContext.longAccumulator("bm25.candidatesScored")
+  val candidatesPruned: LongAccumulator = spark.sparkContext.longAccumulator("bm25.candidatesPruned")
+  val shardsTouched: LongAccumulator = spark.sparkContext.longAccumulator("bm25.shardsTouched")
+
+  /** Robertson idf (the `1 +` variant keeps it positive). Must match the
+    * oracle bit-for-bit — both compute from the same (N, df) longs.
+    */
+  def idf(numDocs: Long, df: Long): Double =
+    math.log(1.0 + (numDocs - df + 0.5) / (df + 0.5))
+
+  /** Top-k hits `(docId, score)`, rank-identical to the brute-force oracle:
+    * deterministic tiebreak (score desc, docId asc), per-doc term scores
+    * accumulated in ascending-term order in Double.
+    */
+  def search(query: String, k: Int): Dataset[Hit] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val stats = dict.filter($"term".isin(terms: _*)).as[TermStat].collect()
+    // AND semantics: any term absent from the dictionary → empty result.
+    // The analog of the reference's empty-party early exit
+    // (psi/utils/bucket.cc:54-60).
+    if (stats.length < terms.length) return spark.emptyDataset[Hit]
+    val idfByTerm: Map[String, Double] =
+      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
+
+    // `term IN (...)` reaches the parquet scan (row groups are term-sorted by
+    // the publish stage), so only the query's posting segments are read.
+    val segs = postings.filter($"term".isin(terms: _*)).as[PostingSeg]
+
+    // shards holding ALL query terms (reads only (term, shard) columns)
+    val nTerms = terms.length
+    val candShards = segs.groupBy("shard")
+      .agg(countDistinct("term").as("nt"))
+      .filter($"nt" === nTerms)
+      .select("shard").as[Int].collect()
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+
+    val segsC = segs.filter($"shard".isin(candShards.toSeq: _*))
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val termsSorted = terms
+    val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val segsByTerm = segIt.toArray.groupBy(_.term)
+        if (segsByTerm.size < termsSorted.length || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          val lens = lenIt.next()
+          Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
+            k1, b, avgdl, k, accS, accP)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Hits hydrated with the document keys (join of the tiny top-k against the
+    * docs table — broadcast-sized left side).
+    */
+  def searchDocs(query: String, k: Int): DataFrame =
+    search(query, k).join(docs, "docId")
+      .select("docId", "score", "repo", "path", "commit", "lang")
+      .orderBy(desc("score"), asc("docId"))
+}
+
+object Searcher {
+
+  /** First index `>= from` with `arr(idx) >= target` (exponential + binary). */
+  def gallop(arr: Array[Long], from: Int, target: Long): Int = {
+    var lo = from
+    if (lo >= arr.length || arr(lo) >= target) return lo
+    var step = 1
+    var hi = lo + 1
+    while (hi < arr.length && arr(hi) < target) { lo = hi; step <<= 1; hi = lo + step }
+    if (hi > arr.length) hi = arr.length
+    // binary search in (lo, hi]
+    var l = lo + 1; var h = hi
+    while (l < h) {
+      val m = (l + h) >>> 1
+      if (arr(m) < target) l = m + 1 else h = m
+    }
+    l
+  }
+
+  private[query] case class TermList(term: String, docs: Array[Long], tfs: Array[Int],
+                                     blockMax: Array[Float], idfK1p1: Double) {
+    var pos: Int = 0
+  }
+
+  /** Galloping k-list intersection with block-max candidate pruning and a
+    * local top-k heap; emits this shard's surviving hits.
+    */
+  def scoreShard(segsByTerm: Map[String, Array[PostingSeg]], lens: ShardLens,
+                 termsSorted: Seq[String], idfByTerm: Map[String, Double],
+                 k1: Double, b: Double, avgdl: Double, k: Int,
+                 accScored: LongAccumulator, accPruned: LongAccumulator): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    // decode each term's (single, by construction) segment for this shard
+    val lists: Array[TermList] = termsSorted.map { t =>
+      val ss = segsByTerm(t)
+      require(ss.length == 1, s"expected one segment per (term,shard), got ${ss.length}")
+      val s = ss.head
+      TermList(t, Codec.decodeDeltas(s.docBytes, s.n), Codec.decodeInts(s.tfBytes, s.n),
+        s.blockMaxTfn, idfByTerm(t) * k1p1)
+    }.toArray
+    // rarest list leads the traversal (smallest-list-leads, the reference's
+    // build-on-smaller-side trick, psi/utils/ec_point_store.cc:133-222)
+    val byLen = lists.sortBy(_.docs.length)
+    val lead = byLen(0)
+    val others = byLen.drop(1)
+
+    val heap = mutable.PriorityQueue.empty[Hit](Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var scored = 0L
+    var pruned = 0L
+
+    var li = 0
+    var advanced = true
+    while (li < lead.docs.length && advanced) {
+      val cand = lead.docs(li)
+      // gallop every other list to cand
+      var ok = true
+      var oi = 0
+      while (ok && oi < others.length) {
+        val ol = others(oi)
+        ol.pos = gallop(ol.docs, ol.pos, cand)
+        if (ol.pos >= ol.docs.length) { ok = false; advanced = false } // list exhausted → done
+        else if (ol.docs(ol.pos) != cand) ok = false
+        oi += 1
+      }
+      if (ok) {
+        lead.pos = li
+        // block-max upper bound: Σ idf·(k1+1)·blockMax(current block)
+        val theta = if (heap.size >= k) heap.head.score else Double.NegativeInfinity
+        var ub = 0.0
+        var i = 0
+        while (i < lists.length) {
+          val l = lists(i)
+          ub += l.idfK1p1 * l.blockMax(l.pos >>> 7)
+          i += 1
+        }
+        if (ub <= theta) pruned += 1
+        else {
+          // exact score, summed in ascending-term order (lists is term-sorted)
+          var score = 0.0
+          i = 0
+          while (i < lists.length) {
+            val l = lists(i)
+            val tf = l.tfs(l.pos).toDouble
+            val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+            score += (idfByTerm(l.term) * (tf * k1p1)) /
+              (tf + k1 * (1.0 - b + b * (dlen / avgdl)))
+            i += 1
+          }
+          scored += 1
+          if (heap.size < k) heap.enqueue(Hit(cand, score))
+          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+        }
+      }
+      li += 1
+    }
+    accScored.add(scored)
+    accPruned.add(pruned)
+    heap.iterator.toArray.iterator
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.Codec
+
+/** Property tests for the posting codec — decode(encode(xs)) == xs for any
+  * sorted longs (SURVEY.md §5: "the codec is the one place property-based
+  * testing beats examples"). ScalaCheck is driven directly (the
+  * scalatest-plus bridge is not in the offline cache).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val sortedLongs: Gen[Array[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, 1L << 50)).map(_.distinct.sorted.toArray)
+
+  test("delta+varbyte roundtrip on sorted longs") {
+    check(Prop.forAll(sortedLongs) { xs =>
+      Codec.decodeDeltas(Codec.encodeDeltas(xs), xs.length).sameElements(xs)
+    })
+  }
+
+  test("varbyte roundtrip on non-negative ints") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0, Int.MaxValue))) { l =>
+      val xs = l.toArray
+      Codec.decodeInts(Codec.encodeInts(xs), xs.length).sameElements(xs)
+    })
+  }
+
+  test("encoding is compact: small gaps take one byte") {
+    val xs = Array.tabulate(1000)(i => 100L + i)
+    val enc = Codec.encodeDeltas(xs)
+    assert(enc.length <= 1001, s"got ${enc.length} bytes for 1000 dense postings")
+  }
+
+  test("block meta: admissible upper bound and block firsts") {
+    val docs = Array.tabulate(300)(i => i.toLong * 3)
+    val tfs = Array.tabulate(300)(i => 1 + (i % 7))
+    val dlens = Array.tabulate(300)(i => 50 + (i % 100))
+    val (firsts, maxes) = Codec.blockMeta(docs, tfs, dlens, 1.2, 0.75, 77.7)
+    assert(firsts.length == 3 && maxes.length == 3)
+    assert(firsts(0) == 0 && firsts(1) == docs(128) && firsts(2) == docs(256))
+    var i = 0
+    while (i < 300) {
+      val tf = tfs(i).toDouble
+      val norm = tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlens(i) / 77.7))
+      assert(maxes(i / 128).toDouble >= norm, s"bound not admissible at $i")
+      i += 1
+    }
+  }
+
+  test("gallop finds first index >= target") {
+    val arr = Array(1L, 3L, 3L, 7L, 10L, 50L)
+    import graft.query.Searcher.gallop
+    assert(gallop(arr, 0, 0L) == 0)
+    assert(gallop(arr, 0, 3L) == 1)
+    assert(gallop(arr, 2, 3L) == 2)
+    assert(gallop(arr, 0, 8L) == 4)
+    assert(gallop(arr, 0, 51L) == 6)
+    assert(gallop(arr, 5, 50L) == 5)
+  }
+}
