@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Bench forks per-parallelism ScaleRun JVMs from the packaged jar
+Compile / run := ((Compile / run) dependsOn (Compile / packageBin)).evaluated

@@ -1,24 +1,149 @@
 package graft
+
+import java.nio.file.Files
+
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.query.Searcher
+
+/** Benchmark main — the throughput/latency feedback loop (BASELINE.md).
+  *
+  * Reports, as one JSON line:
+  *  - headline table-operator timings at SPARK_GRAFT_SF_DIR
+  *  - index-build throughput (files/sec, postings/sec) on the deterministic
+  *    bench corpus (fast-path build)
+  *  - BM25 reference-query-set latency (p50/p95 of warmed runs)
+  *  - N vs 4N scaling: the identical build at local[cpus/4] vs local[cpus]
+  *    on the same input, with throughput-scaling efficiency — the sandbox
+  *    evidence for the north rule's two-cluster-size criterion.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private val BenchDocs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
+
+  /** Table queries safe at sf0.1 (excludes the intentionally-quadratic
+    * oracle-path ops like brute-force all-pairs near-dup).
+    */
+  private val headline = Seq(
+    "q_scan_project", "q1_agg", "q_keyinfo", "q_membership_filter",
+    "q_join_inner_dup", "q_join_left_pad", "q_psi_indices",
+    "q_set_intersect", "q_multiparty_intersect", "q_multikey_sort",
+    "q_topk", "q_window_rank", "q_rolling_digest",
+    "q_token_counts", "q_text_quality", "q_fingerprint", "q_lang_id",
+    "q_multimodal_stub", "q_ann_topk", "q_stream_window")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(s"psispark-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val lowCpus = math.max(2, cpus / 4)
+    val work = Files.createTempDirectory("psispark-bench").toString
+    val corpusDir = s"$work/corpus"
+    val buildParts = 64
+
+    // ---- phase 0: warmup — generate corpora and run a small build so that
+    // JVM-wide one-time costs (whole-stage codegen compilation, JIT) are paid
+    // before EITHER timed run; otherwise the first run unfairly absorbs them
+    val warm = session(cpus)
+    CorpusGen.writeCorpus(warm, CorpusGen.Config(numDocs = BenchDocs), corpusDir)
+    CorpusGen.writeCorpus(warm, CorpusGen.Config(numDocs = 2000), s"$work/warmcorpus")
+    IndexBuilder.buildFast(warm, s"$work/warmcorpus", s"$work/warmindex",
+      IndexConfig(docsPerShard = 2048, buildPartitions = buildParts))
+    warm.stop()
+
+    // ---- phase 1: N and 4N builds at two operating points ----------------
+    // 2→8 cores: compute-bound regime (the honest N→4N proxy for adding
+    // nodes, which adds memory bandwidth). 8→32 cores: the single-JVM
+    // memory-bandwidth wall — reported too, because it is the regime the
+    // reference itself shows as flat (psi_v2_benchmark.md: RR22 times are
+    // ~equal at 8C/16C/32C).
+    // partition count is a function of DATA SIZE, identical at every
+    // parallelism level (cores only control concurrency) — the same policy a
+    // 100 TB deployment uses (numPartitions from volume, executors from
+    // cluster size; reference analog: bucket_count = ceil(n/bucket_size),
+    // psi/utils/bucket.cc:141-168)
+    def buildAt(n: Int): Double = {
+      val s = session(n)
+      val t = timed {
+        IndexBuilder.buildFast(s, corpusDir, s"$work/index_$n",
+          IndexConfig(docsPerShard = 2048, buildPartitions = buildParts))
+      }._2
+      s.stop()
+      t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val tN2 = buildAt(2)
+    val tLow = buildAt(lowCpus)
+
+    // ---- phase 2: full-parallelism build + queries ------------------------
+    val spark = session(cpus)
+    val (meta, tHigh) = timed {
+      IndexBuilder.buildFast(spark, corpusDir, s"$work/index",
+        IndexConfig(docsPerShard = 2048, buildPartitions = buildParts))
+    }
+    val thrN2 = BenchDocs / tN2
+    val thrLow = BenchDocs / tLow
+    val thrHigh = BenchDocs / tHigh
+    val eff28 = (thrLow / thrN2) / (lowCpus / 2.0)
+    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / lowCpus)
+
+    // BM25 reference query set: warm once, then measure
+    val searcher = new Searcher(spark, s"$work/index")
+    val qset = CorpusGen.referenceQuerySet(CorpusGen.Config(numDocs = BenchDocs))
+    qset.foreach { case (_, q, k) => searcher.search(q, k).collect() }
+    val latencies = qset.map { case (_, q, k) =>
+      timed(searcher.search(q, k).collect())._2
+    }.sorted
+    def pct(p: Double) =
+      latencies(math.min(latencies.size - 1, (p * latencies.size).toInt))
+    val qsecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    qsecs("index_build_fast") = tHigh
+    qsecs("bm25_qset_p50") = pct(0.50)
+    qsecs("bm25_qset_p95") = pct(0.95)
+
+    // headline table operators at sfDir
+    val qmap = SparkEntry.queries
+    for (name <- headline if qmap.contains(name)) {
+      val sec = try timed(qmap(name)(spark, sfDir).count())._2
+                catch { case _: Throwable => -1.0 }
+      qsecs(name) = sec
+    }
+
+    val total = qsecs.values.filter(_ >= 0).sum
+    val qs = qsecs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val scaling =
+      f"""{"cores2Sec":$tN2%.2f,"lowCpus":$lowCpus,"highCpus":$cpus,""" +
+        f""""buildSecLow":$tLow%.2f,"buildSecHigh":$tHigh%.2f,""" +
+        f""""filesPerSec2":$thrN2%.1f,"filesPerSecLow":$thrLow%.1f,""" +
+        f""""filesPerSecHigh":$thrHigh%.1f,""" +
+        f""""efficiencyNto4N_at2":$eff28%.3f,"efficiencyNto4N_at$lowCpus":$efficiency%.3f}"""
+    val idx =
+      f"""{"docs":${meta.numDocs},"postings":${meta.totalTokens},""" +
+        f""""filesPerSec":$thrHigh%.1f,"postingsPerSec":${meta.totalTokens / tHigh}%.0f,""" +
+        f""""terms":${meta.numTerms},"segments":${meta.numSegments}}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","index_build":$idx,"scaling":$scaling}""")
     spark.stop()
   }
 }

@@ -116,7 +116,7 @@ object CorpusGen {
   def referenceQuerySet(cfg: Config): Seq[(String, String, Int)] = {
     // pull rare/mid tokens deterministically out of two sample docs
     def tokensOf(id: Long): Array[String] =
-      rowFor(id, cfg).content.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty)
+      graft.index.Tokenize.tokenize(rowFor(id, cfg).content)
     val rare1 = tokensOf(7L).find(_.startsWith("sym_")).getOrElse("sym_00000000")
     val rare2 = tokensOf(11L).find(_.startsWith("sym_")).getOrElse("sym_00000001")
     val mid = tokensOf(3L).find(_.startsWith("util_")).getOrElse("util_1")

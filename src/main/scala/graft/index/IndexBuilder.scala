@@ -31,7 +31,7 @@ case class IndexConfig(docsPerShard: Int = 1 << 12,
                        verifySha: Boolean = true,
                        stopAfterStage: String = "") {
   def fingerprint: String =
-    CorpusFp.sha(s"v1|$docsPerShard|$k1|$b|$verifySha")
+    CorpusFp.sha(s"v2|$docsPerShard|$k1|$b|$verifySha")
 }
 
 private object CorpusFp {
@@ -218,7 +218,9 @@ object IndexBuilder {
               }
               val da = docs.result(); val fa = tfs.result(); val la = dls.result()
               val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, ad)
-              val seg = PostingSeg(term, shard, da.length,
+              var sumTf = 0L; var si = 0
+              while (si < fa.length) { sumTf += fa(si); si += 1 }
+              val seg = PostingSeg(term, shard, da.length, sumTf,
                 Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
               postings += da.length
               bytes += seg.docBytes.length + seg.tfBytes.length
@@ -275,6 +277,177 @@ object IndexBuilder {
   }
 
   def readMeta(indexDir: String): IndexMeta = Metrics.readMetaJson(s"$indexDir/meta.json")
+
+  /** Fast-path build: the same logical pipeline with fused stages and the
+  * minimum data movement — no intermediate parquet materialization, so no
+  * checkpoint resume. This is the throughput configuration (the staged
+  * `build` trades extra IO for per-stage recoverability, like the
+  * reference's sorted temp + KeyInfo cache, table_utils.cc:283-297).
+  *
+  * Data-movement budget (the thing that decides 100 TB behavior):
+  *   - content moves through exactly TWO exchanges: the sha-verify join and
+  *     the global key sort that defines docIds
+  *   - token-level rows move through exactly TWO exchanges: the (term,
+  *     docId) tf aggregation (map-side partial) and the (term, shard)
+  *     range partition that is also the final published sort order
+  *   - dlen rides WITH each posting row (computed at tokenize time), so
+  *     there is no doclen join; the dictionary is derived from the
+  *     compressed segments, so there is no second tokenize pass
+  *
+  * Produces the same index artifacts as the staged build.
+  */
+  def buildFast(spark: SparkSession, corpusDir: String, indexDir: String,
+                cfg: IndexConfig = IndexConfig()): IndexMeta = {
+    import spark.implicits._
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[buildFast] $name: ${(now - tPhase) / 1e9}%.2f s")
+      tPhase = now
+    }
+    Files.createDirectories(Paths.get(indexDir))
+    val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
+            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val keyCols = Seq("repo", "path", "commit")
+
+    // sha256 invariant: verified in the same pass that feeds the sort (the
+    // filter keeps assert_true in the plan; success returns NULL)
+    val verified = if (cfg.verifySha) {
+      files.withColumn("sha256", sha2(col("content"), 256))
+        .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols)
+        .where(assert_true(col("sha256") === col("ref_sha256"),
+          lit("row fails the sha256(content) invariant")).isNull)
+        .drop("ref_sha256")
+    } else files.withColumn("sha256", sha2(col("content"), 256))
+
+    // ONE global range sort of the full rows defines the docId order; docIds
+    // are partition offsets + local position (no window, no join-back)
+    val fullSorted = verified
+      .repartitionByRange(P, col("repo"), col("path"), col("commit"))
+      .sortWithinPartitions("repo", "path", "commit")
+      .select("repo", "path", "commit", "lang", "sha256", "content")
+      .as[(String, String, String, String, String, String)]
+      .persist()
+    val counts = fullSorted.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().toMap
+    val offsets = {
+      var acc = 0L
+      (0 until P).map { pid => val o = pid -> acc; acc += counts.getOrElse(pid, 0L); o }.toMap
+    }
+    val numDocs = counts.values.sum
+    val withId = fullSorted.mapPartitions { it =>
+      var next = offsets(TaskContext.getPartitionId())
+      it.map { case (r, p, c, lang, sha, content) =>
+        val id = next; next += 1; (id, r, p, c, lang, sha, content)
+      }
+    }.toDF("docId", "repo", "path", "commit", "lang", "sha256", "content")
+    phase("docid-offsets")
+
+    val dps = cfg.docsPerShard
+    val nd = numDocs
+
+    // docs meta (dlen computed inline from the tokenizer — no doclen join);
+    // totalTokens is collected as an observed metric of the same write
+    val docsObs = new org.apache.spark.sql.Observation("docstats")
+    withId
+      .select($"docId", $"repo", $"path", $"commit", $"lang",
+        size(Tokenize.termsCol($"content")).cast("int").as("dlen"), $"sha256")
+      .observe(docsObs, sum($"dlen".cast("long")).as("totalTokens"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.parquet")
+    phase("docs-write")
+
+    spark.read.parquet(s"$indexDir/docs.parquet")
+      .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .mapGroups { (shard, it) =>
+        val first = shard.toLong * dps
+        val size = math.min(dps.toLong, nd - first).toInt
+        val lens = new Array[Int](size)
+        it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
+        ShardLens(shard, first, lens)
+      }
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dlens.parquet")
+    phase("dlens-write")
+
+    val totalTokens = docsObs.get("totalTokens").asInstanceOf[Long]
+    val avgdl = totalTokens.toDouble / numDocs
+    val (k1, b) = (cfg.k1, cfg.b)
+    val segCounter = spark.sparkContext.longAccumulator("segments")
+
+    // tf + publish: a document lives in exactly one partition, so (term,
+    // docId) term frequencies are FULLY computable map-side — a typed
+    // per-partition tokenize+count replaces the explode→groupBy exchange.
+    // Token-level rows then cross exactly ONE exchange: the (term, shard)
+    // range partition that is also the final published sort order.
+    withId
+      .select($"docId", $"content")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, content) =>
+          val toks = Tokenize.tokenize(content)
+          val dlen = toks.length
+          val shard = (docId / dps).toInt
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map { e =>
+            (e.getKey, docId, e.getValue.intValue(), dlen, shard)
+          }
+        }
+      }
+      .toDF("term", "docId", "tf", "dlen", "shard")
+      .as[(String, Long, Int, Int, Int)]
+      .repartitionByRange(P, $"term", $"shard")
+      .sortWithinPartitions($"term", $"shard", $"docId")
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[PostingSeg] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): PostingSeg = {
+            segCounter.add(1)
+            val (term, _, _, _, shard) = buf.head
+            val docs = Array.newBuilder[Long]
+            val tfs = Array.newBuilder[Int]
+            val dls = Array.newBuilder[Int]
+            while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+              val (_, d, f, dl, _) = buf.next()
+              docs += d; tfs += f; dls += dl
+            }
+            val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+            val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
+            var sumTf = 0L; var si = 0
+            while (si < fa.length) { sumTf += fa(si); si += 1 }
+            PostingSeg(term, shard, da.length, sumTf,
+              Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+          }
+        }
+      }
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    fullSorted.unpersist()
+    phase("publish-write")
+
+    // dictionary derived from the compressed segments (no second tokenize);
+    // numTerms observed during the same write
+    val dictObs = new org.apache.spark.sql.Observation("dictstats")
+    spark.read.parquet(s"$indexDir/postings.parquet")
+      .groupBy("term")
+      .agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))
+      .observe(dictObs, count(lit(1)).as("numTerms"))
+      .as[TermStat]
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict.parquet")
+    phase("dict-write")
+
+    val numTerms = dictObs.get("numTerms").asInstanceOf[Long]
+    val numSegments = segCounter.value.longValue()
+    val meta = IndexMeta(numDocs, totalTokens, avgdl, cfg.k1, cfg.b,
+      cfg.docsPerShard, numTerms, numSegments, cfg.fingerprint)
+    Metrics.writeMetaJson(s"$indexDir/meta.json", meta)
+    meta
+  }
 }
 
 /** Stage markers: `_stage_<name>.json` committed after the stage's output is

@@ -27,7 +27,7 @@ case class TfRow(term: String, docId: Long, tf: Int)
   * varbyte (`docBytes`), tfs varbyte (`tfBytes`); `blockFirst`/`blockMaxTfn`
   * are per-128-posting block skip metadata (block-max).
   */
-case class PostingSeg(term: String, shard: Int, n: Int,
+case class PostingSeg(term: String, shard: Int, n: Int, sumTf: Long,
                       docBytes: Array[Byte], tfBytes: Array[Byte],
                       blockFirst: Array[Long], blockMaxTfn: Array[Float])
 

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact; the oracle). Scale path:
+  * random-hyperplane LSH bucketing — candidates meet only inside matching
+  * buckets, turning the O(n·q) scan into bucket-local joins, the same
+  * hash-bucket decomposition the reference applies to its intersection
+  * (psi/utils/hash_bucket_cache.cc) re-used for vector search.
+  *
+  * All math runs through codegen'd higher-order functions
+  * (zip_with/aggregate/transform) — no UDFs.
+  */
+object Similarity {
+
+  import Dedup.cosine
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cos, rank), rank 1..k, deterministic
+    * tiebreak (cos desc, neighbor_id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed affine-mixed xxhash64 scaled to [-1, 1]. Same value on every
+    * executor — no RNG state to ship.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-of-projection LSH code over `numPlanes` deterministic hyperplanes:
+    * bit i = sign(v · p_i). Vectors in the same bucket are likely
+    * cosine-close (random hyperplane LSH, Charikar'02).
+    */
+  def lshCode(vec: Column, numPlanes: Int, planeSeed: Int = 0): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(planeSeed + p, i)),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share any of `numTables` bucket
+    * codes; exact cosine is computed only inside buckets. Recall < 1 by
+    * construction; increase numTables for higher recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 12,
+              numTables: Int = 4): DataFrame = {
+    // each table uses a distinct hyperplane family (plane count offset by
+    // table index → disjoint (plane, dim) hash inputs)
+    val cQ = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val cC = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    def codes(df: DataFrame, vcol: String): Column =
+      array((0 until numTables).map { t =>
+        struct(lit(t).as("table"),
+          lshCode(col(vcol), numPlanes, planeSeed = t * 1024).as("code"))
+      }: _*)
+    val qB = cQ.select(col("query_id"), col("qv"), explode(codes(cQ, "qv")).as("tc"))
+      .select(col("query_id"), col("qv"), col("tc.table"), col("tc.code"))
+    val cB = cC.select(col("neighbor_id"), col("cv"), explode(codes(cC, "cv")).as("tc"))
+      .select(col("neighbor_id"), col("cv"), col("tc.table"), col("tc.code"))
+    val cand = qB.join(cB, Seq("table", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+}

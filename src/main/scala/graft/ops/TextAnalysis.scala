@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * Pure Column pipelines (codegen'd) — the whole feature extraction stays in
+  * one WholeStageCodegen span over the scan.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = Dedup.tokens(text)
+
+  /** Whitespace token count + BPE-ish subword count (runs of letters,
+    * digits, or single punctuation — a cheap proxy for byte-pair tokenizers).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > lit(0)))
+        .as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Quality features: length, mean word length, punctuation ratio,
+    * stopword ratio, uppercase ratio — the standard cheap quality filters.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nToks.as("n_tokens"),
+      // mean token length (0 when empty)
+      when(nToks > 0,
+        aggregate(toks, lit(0.0d), (acc, t) => acc + length(t).cast("double")) /
+          nToks.cast("double")).otherwise(lit(0.0d)).as("mean_tok_len"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("double")
+        ./(greatest(length(col(textCol)), lit(1)).cast("double"))
+        .as("punct_ratio"),
+      when(nToks > 0,
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          nToks.cast("double")).otherwise(lit(0.0d)).as("stopword_ratio"),
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[A-Z]", ""))).cast("double")
+        ./(greatest(length(col(textCol)), lit(1)).cast("double"))
+        .as("upper_ratio"))
+  }
+
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Language-ID heuristic: score each language profile by the fraction of
+    * the doc's tokens found in that language's marker set; argmax with a
+    * deterministic tiebreak (profile order). Marker sets are seeded from the
+    * testdata corpus conventions; `profiles` is overridable per corpus.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String,
+                 profiles: Seq[(String, Seq[String])] = DefaultProfiles): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val scoreCols = profiles.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      struct((size(filter(toks, t => array_contains(arr, t))).cast("double") / nToks).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: array_max over (score, lang) structs — ties break on lang
+    // ascending via struct comparison only after negating... keep simple:
+    // sort by (score desc) stably via array_sort with custom comparator.
+    val best = array_sort(array(scoreCols: _*),
+      (l, r) => when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .otherwise(0))
+    df.select(col(idCol),
+      element_at(best, 1).getField("lang").as("pred_lang"),
+      element_at(best, 1).getField("score").as("lang_score"))
+  }
+
+  val DefaultProfiles: Seq[(String, Seq[String])] = Seq(
+    ("en", Seq("the", "and", "of", "to", "is")),
+    ("es", Seq("el", "la", "de", "que", "y")),
+    ("fr", Seq("le", "la", "de", "et", "les")),
+    ("de", Seq("der", "die", "und", "das", "ist")))
+
+  /** Document fingerprint: sha256 of the normalized text (lowercase,
+    * whitespace collapsed) — stable under formatting noise; plus a 64-bit
+    * xxhash64 short fingerprint for cheap joins.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(col(idCol),
+      sha2(norm, 256).as("fingerprint_sha256"),
+      xxhash64(norm).as("fingerprint_64"))
+  }
+}

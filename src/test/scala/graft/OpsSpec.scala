@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing. Synthetic fixtures with planted duplicates
+  * so recall properties are checkable exactly.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 30 base docs + planted near-duplicates of doc 0 and exact dup of doc 5. */
+  lazy val docs = {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 30).map { i =>
+      val toks = (0 until 40).map(_ => s"w${rng.nextInt(200)}")
+      (i.toLong, toks.mkString(" "))
+    }
+    val nearDup = (100L, base(0)._2.replaceFirst("w\\d+", "changed"))
+    val exactDup = (101L, base(5)._2)
+    (base :+ nearDup :+ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups.head.getLong(0) == 5L &&
+      groups.head.getLong(1) == 2L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == docs.count() - 1)
+  }
+
+  test("ngram Jaccard finds the planted near-duplicate pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxShingleDf = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 100L && j > 0.8 })
+    assert(pairs.exists { case (a, b, j) => a == 5L && b == 101L && j == 1.0 })
+  }
+
+  test("minhash LSH candidates ⊇ high-Jaccard pairs, verified pairs exact") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, numPerms = 16, rowsPerBand = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.9, maxShingleDf = 1000)
+      .as[(Long, Long, Double)].collect()
+    // every ≥0.9-Jaccard pair must be caught by LSH at these band settings
+    exact.foreach { case (a, b, j) =>
+      assert(lsh.contains((a, b)), s"LSH missed pair ($a,$b) j=$j")
+      assert(math.abs(lsh((a, b)) - j) < 1e-12)
+    }
+  }
+
+  test("simhash: identical docs share hash; near-dups within distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(5L) == sh(101L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 101L && p._3 == 0))
+    assert(pairs.forall(_._3 <= 10))
+  }
+
+  lazy val vecs = {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    // planted: vec 200 ≈ vec 3 (tiny perturbation)
+    val near = (200L, base(3)._2.map(x => x + 0.001f))
+    (base :+ near).toDF("vec_id", "embedding")
+  }
+
+  test("embedding near-dup finds the planted close vector") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 200L))
+  }
+
+  test("brute-force ANN top-k is exact and deterministic") {
+    val q = vecs.filter($"vec_id" === 3L)
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 == 200L && top.head._3 > 0.999)
+  }
+
+  test("LSH ANN finds the planted neighbor and has useful recall@5") {
+    val q = vecs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(vecs, q, "vec_id", "embedding", 5,
+      numPlanes = 4, numTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    // the planted near-identical vector always collides with its query
+    val q3 = Similarity.lshTopK(vecs, vecs.filter($"vec_id" === 3L),
+      "vec_id", "embedding", 3, numPlanes = 4, numTables = 8)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(q3.headOption.contains(200L))
+  }
+
+  test("token counts and quality features are sane") {
+    val d = Seq((1L, "Hello, world! The quick fox.")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(d, "doc_id", "text").collect().head
+    assert(tc.getInt(1) == 5)  // ws tokens
+    assert(tc.getInt(2) == 8)  // 5 words + 3 punct marks (",", "!", ".")
+    val qf = TextAnalysis.qualityFeatures(d, "doc_id", "text").collect().head
+    assert(qf.getAs[Int]("n_tokens") == 5)
+    assert(qf.getAs[Double]("stopword_ratio") == 0.2) // "the"
+    assert(qf.getAs[Double]("punct_ratio") > 0)
+  }
+
+  test("language-ID picks the profile with most marker hits") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "el gato y la casa de que el perro y")).toDF("doc_id", "text")
+    val m = TextAnalysis.languageId(d, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(m(1L) == "en" && m(2L) == "es")
+  }
+
+  test("fingerprints are whitespace-normalization invariant") {
+    val d = Seq((1L, "a  b\tc"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d, "doc_id", "text")
+      .select("doc_id", "fingerprint_sha256").as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("multimodal stub plumbing: schema, determinism, batch iteration") {
+    val d = Seq((1L, "payload-a", "s"), (2L, "payload-bb", "s"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.synthesizeMedia(d, "doc_id", "text", "source")
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1(0).n_bytes == 9 && f1(1).n_bytes == 10)
+    assert(f1(0).modality == "audio" && f1(1).modality == "video")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig}
+
+/** Checkpoint-resume golden test (BASELINE.md "resume" row): kill mid-build
+  * (simulated via stopAfterStage), rerun, and require (a) finished stages are
+  * skipped, (b) the resulting index is content-identical to an uninterrupted
+  * build — the analog of the reference's recovery_test.cc + safe-point resume
+  * (psi/checkpoint/recovery.h:37-121).
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("interrupted build resumes and produces an identical index") {
+    val (corpusDir, fullIndexDir) = TestSpark.builtIndex
+    val resumeDir = s"${TestSpark.workDir}/index_resume"
+
+    // simulate a crash after the tf stage
+    val stopped = IndexBuilder.build(spark, corpusDir, resumeDir,
+      IndexConfig(docsPerShard = 256, stopAfterStage = "tf"))
+    assert(stopped == null)
+    assert(Files.exists(Paths.get(s"$resumeDir/_stage_tf.json")))
+    assert(!Files.exists(Paths.get(s"$resumeDir/meta.json")))
+
+    // resume: same config → docs+tf skipped, rest built
+    val tracker = new graft.index.StageTracker(resumeDir,
+      IndexConfig(docsPerShard = 256).fingerprint, "")
+    assert(tracker.isDone("docs") && tracker.isDone("tf"))
+    assert(!tracker.isDone("segments"))
+    val meta = IndexBuilder.build(spark, corpusDir, resumeDir,
+      IndexConfig(docsPerShard = 256))
+    assert(meta != null && Files.exists(Paths.get(s"$resumeDir/meta.json")))
+
+    // identical postings content vs the uninterrupted build
+    def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+      .select("term", "shard", "n", "docBytes", "tfBytes")
+    assert(segs(resumeDir).exceptAll(segs(fullIndexDir)).isEmpty)
+    assert(segs(fullIndexDir).exceptAll(segs(resumeDir)).isEmpty)
+  }
+
+  test("config change invalidates stage markers (fingerprint mismatch)") {
+    val tracker = new graft.index.StageTracker(s"${TestSpark.workDir}/index_resume",
+      IndexConfig(docsPerShard = 999).fingerprint, "")
+    assert(!tracker.isDone("docs"))
+  }
+
+  test("corpus rejects duplicate composite keys") {
+    import spark.implicits._
+    val dir = s"${TestSpark.workDir}/dup_corpus"
+    val rows = Seq(
+      FileRow("r", "p", "c", "scala", "a b"),
+      FileRow("r", "p", "c", "scala", "a b"))
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/files.parquet")
+    spark.emptyDataFrame
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, dir, s"$dir/idx",
+        IndexConfig(verifySha = false))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
+  test("sha256 invariant violation fails the build") {
+    import spark.implicits._
+    val dir = s"${TestSpark.workDir}/badsha_corpus"
+    Seq(FileRow("r", "p", "c", "scala", "a b")).toDF()
+      .write.mode("overwrite").parquet(s"$dir/files.parquet")
+    Seq(("r", "p", "c", "deadbeef")).toDF("repo", "path", "commit", "ref_sha256")
+      .write.mode("overwrite").parquet(s"$dir/ref_sha.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.build(spark, dir, s"$dir/idx", IndexConfig())
+    }
+    assert(ex.getMessage.contains("sha256"))
+  }
+}
