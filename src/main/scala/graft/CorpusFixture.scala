@@ -28,7 +28,7 @@ object CorpusFixture {
     if (!Files.exists(Paths.get(s"$corpusDir/files.parquet/_SUCCESS")))
       CorpusGen.writeCorpus(spark, cfg, corpusDir)
     if (!Files.exists(Paths.get(s"$indexDir/meta.json")))
-      IndexBuilder.build(spark, corpusDir, indexDir, idxCfg)
+      IndexBuilder.buildFast(spark, corpusDir, indexDir, idxCfg)
     ready = true
   }
 

@@ -43,6 +43,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(segs(fullIndexDir).exceptAll(segs(resumeDir)).isEmpty)
   }
 
+  test("fast-path build produces an identical index to the staged build") {
+    val (corpusDir, stagedDir) = TestSpark.builtIndex
+    val fastDir = s"${TestSpark.workDir}/index_fast"
+    val meta = graft.index.IndexBuilder.buildFast(spark, corpusDir, fastDir,
+      graft.index.IndexConfig(docsPerShard = 256))
+    val stagedMeta = graft.index.IndexBuilder.readMeta(stagedDir)
+    assert(meta.numDocs == stagedMeta.numDocs &&
+      meta.totalTokens == stagedMeta.totalTokens &&
+      meta.numTerms == stagedMeta.numTerms &&
+      meta.numSegments == stagedMeta.numSegments &&
+      meta.avgdl == stagedMeta.avgdl)
+    def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+      .select("term", "shard", "n", "sumTf", "docBytes", "tfBytes")
+    assert(segs(fastDir).exceptAll(segs(stagedDir)).isEmpty)
+    assert(segs(stagedDir).exceptAll(segs(fastDir)).isEmpty)
+    def docs(dir: String) = spark.read.parquet(s"$dir/docs.parquet")
+    assert(docs(fastDir).exceptAll(docs(stagedDir)).isEmpty)
+  }
+
   test("config change invalidates stage markers (fingerprint mismatch)") {
     val tracker = new graft.index.StageTracker(s"${TestSpark.workDir}/index_resume",
       IndexConfig(docsPerShard = 999).fingerprint, "")
