@@ -283,6 +283,26 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_or" -> ((s, dir) => {
+      // disjunctive BM25 incl. a no-hit term (partial matching)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchOr(s"$Bm25Query zzqx_nothing", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_batch" -> ((s, dir) => {
+      // many queries, one Spark job (rows-only gate; per-query rank identity
+      // is asserted against the oracle in SearcherSpec)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBatch(Seq(
+          ("a", Bm25Query, 5), ("b", "import val", 5), ("c", "util_7", 3)))
+        .select(col("query_name"), col("docId"),
+          round(col("score"), 9).as("score"), col("rank"))
+        .orderBy("query_name", "rank")
+    }),
+
     "q_corpus_langs" -> ((s, dir) => {
       CorpusFixture.ensure(s)
       s.read.parquet(s"${CorpusFixture.corpusDir}/files.parquet")
@@ -560,6 +580,30 @@ object SparkEntry {
          |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
          |agg AS (SELECT docid, count(*) AS nt, $termScores
          |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    "q_bm25_or" -> {
+      val terms = s"$Bm25Query zzqx_nothing".split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      // summing in ascending-term order with coalesce(…, 0): adding the
+      // additive identity preserves bit-exactness for finite positive scores
+      val scoreSum = terms.indices.map(i => s"coalesce(s_$i, 0.0)").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },

@@ -27,7 +27,16 @@ object OracleBm25 {
 
   /** Top-k (docId, score) for an AND query. */
   def topK(files: DataFrame, query: String, k: Int,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKImpl(files, query, k, k1, b, conjunctive = true)
+
+  /** Top-k for an OR query (docs score on whichever terms they contain). */
+  def topKOr(files: DataFrame, query: String, k: Int,
+             k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKImpl(files, query, k, k1, b, conjunctive = false)
+
+  private def topKImpl(files: DataFrame, query: String, k: Int,
+                       k1: Double, b: Double, conjunctive: Boolean): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val terms = Tokenize.tokenize(query).distinct.sorted
@@ -47,9 +56,11 @@ object OracleBm25 {
     val dfByTerm = tf.filter($"term".isin(terms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
-    if (terms.exists(t => !dfByTerm.contains(t))) return empty
+    if (conjunctive && terms.exists(t => !dfByTerm.contains(t))) return empty
+    if (dfByTerm.isEmpty) return empty
     val idfDf = broadcast(
-      terms.toSeq.map(t => (t, idf(numDocs, dfByTerm(t)))).toDF("term", "idf"))
+      dfByTerm.keys.toSeq.sorted.map(t => (t, idf(numDocs, dfByTerm(t))))
+        .toDF("term", "idf"))
 
     val scored = tf.filter($"term".isin(terms: _*))
       .join(dlen, "docId")
@@ -63,7 +74,7 @@ object OracleBm25 {
       .agg(count(lit(1)).as("nTerms"),
         aggregate(sort_array(collect_list(struct($"term", $"s"))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
-      .filter($"nTerms" === terms.length)
+      .filter(if (conjunctive) $"nTerms" === terms.length else $"nTerms" >= 1)
       .select("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)

@@ -99,6 +99,104 @@ class Searcher(spark: SparkSession, indexDir: String) {
     search(query, k).join(docs, "docId")
       .select("docId", "score", "repo", "path", "commit", "lang")
       .orderBy(desc("score"), asc("docId"))
+
+  /** Disjunctive (OR) top-k BM25: a document scores on whichever query terms
+    * it contains (document-at-a-time traversal over the shard's lists).
+    * Same determinism contract as `search`: per-doc scores accumulate over
+    * matching terms in ascending-term order, tiebreak (score desc, docId asc).
+    */
+  def searchOr(query: String, k: Int): Dataset[Hit] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val stats = dict.filter($"term".isin(terms: _*)).as[TermStat].collect()
+    if (stats.isEmpty) return spark.emptyDataset[Hit]
+    val present = stats.map(_.term).sorted.toSeq
+    val idfByTerm: Map[String, Double] =
+      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
+    val segs = postings.filter($"term".isin(present: _*)).as[PostingSeg]
+    val lensAll = dlens.as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val accT = shardsTouched
+    val hits = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val segsByTerm = segIt.toArray.groupBy(_.term)
+        if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardOr(segsByTerm, lenIt.next(), present, idfByTerm,
+            k1, b, avgdl, k)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Batched search: evaluate many queries in ONE Spark job. All queries'
+    * posting segments are fetched in a single pushdown scan and scored
+    * per-shard together — the throughput mode for query workloads (amortizes
+    * per-job driver latency across the batch).
+    * Returns (query_name, docId, score, rank).
+    */
+  def searchBatch(queries: Seq[(String, String, Int)],
+                  conjunctive: Boolean = true): DataFrame = {
+    val parsed = queries.map { case (name, q, k) =>
+      (name, Tokenize.tokenize(q).distinct.sorted.toSeq, k)
+    }
+    val allTerms = parsed.flatMap(_._2).distinct.sorted
+    if (allTerms.isEmpty)
+      return Seq.empty[(String, Long, Double, Int)]
+        .toDF("query_name", "docId", "score", "rank")
+    val stats = dict.filter($"term".isin(allTerms: _*)).as[TermStat].collect()
+    val idfByTerm: Map[String, Double] =
+      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
+    // resolve each query against the dictionary up front (AND + missing
+    // term → dead query, the early-exit analog)
+    val live = parsed.flatMap { case (name, ts, k) =>
+      val presentTs = ts.filter(idfByTerm.contains)
+      if (conjunctive && presentTs.length < ts.length) None
+      else if (presentTs.isEmpty) None
+      else Some((name, presentTs, k))
+    }
+    if (live.isEmpty)
+      return Seq.empty[(String, Long, Double, Int)]
+        .toDF("query_name", "docId", "score", "rank")
+    val liveTerms = live.flatMap(_._2).distinct.sorted
+    val segs = postings.filter($"term".isin(liveTerms: _*)).as[PostingSeg]
+    val lensAll = dlens.as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val conj = conjunctive
+    val perShard = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val segsByTerm = segIt.toArray.groupBy(_.term)
+        if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
+        else {
+          val lens = lenIt.next()
+          live.iterator.flatMap { case (name, ts, k) =>
+            val found = ts.count(segsByTerm.contains)
+            if (conj && found < ts.length) Iterator.empty
+            else if (found == 0) Iterator.empty
+            else {
+              val hits =
+                if (conj)
+                  Searcher.scoreShard(segsByTerm.filter(e => ts.contains(e._1)),
+                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null)
+                else
+                  Searcher.scoreShardOr(segsByTerm.filter(e => ts.contains(e._1)),
+                    lens, ts, idfByTerm, k1, b, avgdl, k)
+              hits.map(h => (name, h.docId, h.score))
+            }
+          }
+        }
+    }.toDF("query_name", "docId", "score")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_name")
+      .orderBy(col("score").desc, col("docId").asc)
+    val kByName = live.map(q => (q._1, q._3)).toMap
+    val kDf = kByName.toSeq.toDF("query_name", "k")
+    perShard.withColumn("rank", row_number().over(w))
+      .join(broadcast(kDf), "query_name")
+      .filter(col("rank") <= col("k"))
+      .select("query_name", "docId", "score", "rank")
+  }
 }
 
 object Searcher {
@@ -196,8 +294,58 @@ object Searcher {
       }
       li += 1
     }
-    accScored.add(scored)
-    accPruned.add(pruned)
+    if (accScored != null) accScored.add(scored)
+    if (accPruned != null) accPruned.add(pruned)
+    heap.iterator.toArray.iterator
+  }
+
+  /** Document-at-a-time disjunctive scoring: every doc appearing in ANY list
+    * is scored on its matching terms (in ascending-term order). With ≤ a
+    * handful of query terms the exact per-candidate score is as cheap as an
+    * upper bound, so no block-max pruning is applied on the OR path.
+    */
+  def scoreShardOr(segsByTerm: Map[String, Array[PostingSeg]], lens: ShardLens,
+                   termsSorted: Seq[String], idfByTerm: Map[String, Double],
+                   k1: Double, b: Double, avgdl: Double, k: Int): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    val lists: Array[TermList] = termsSorted.filter(segsByTerm.contains).map { t =>
+      val ss = segsByTerm(t)
+      require(ss.length == 1, s"expected one segment per (term,shard), got ${ss.length}")
+      val s = ss.head
+      TermList(t, Codec.decodeDeltas(s.docBytes, s.n), Codec.decodeInts(s.tfBytes, s.n),
+        s.blockMaxTfn, idfByTerm(t) * k1p1)
+    }.toArray
+    if (lists.isEmpty) return Iterator.empty
+    val heap = mutable.PriorityQueue.empty[Hit](Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var done = false
+    while (!done) {
+      // next candidate = min current docId across non-exhausted lists
+      var cand = Long.MaxValue
+      var i = 0
+      while (i < lists.length) {
+        val l = lists(i)
+        if (l.pos < l.docs.length && l.docs(l.pos) < cand) cand = l.docs(l.pos)
+        i += 1
+      }
+      if (cand == Long.MaxValue) done = true
+      else {
+        var score = 0.0
+        val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+        i = 0
+        while (i < lists.length) { // lists is term-sorted → deterministic sum order
+          val l = lists(i)
+          if (l.pos < l.docs.length && l.docs(l.pos) == cand) {
+            val tf = l.tfs(l.pos).toDouble
+            score += (idfByTerm(l.term) * (tf * k1p1)) /
+              (tf + k1 * (1.0 - b + b * (dlen / avgdl)))
+            l.pos += 1
+          }
+          i += 1
+        }
+        if (heap.size < k) heap.enqueue(Hit(cand, score))
+        else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+      }
+    }
     heap.iterator.toArray.iterator
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.oracle.OracleBm25
+import graft.query.Searcher
+
+/** Query-path edge cases + OR-mode and batched search rank identity. */
+class SearcherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  lazy val (corpusDir, indexDir) = TestSpark.builtIndex
+  lazy val files = spark.read.parquet(s"$corpusDir/files.parquet")
+  lazy val searcher = new Searcher(spark, indexDir)
+
+  private def oracleOr(q: String, k: Int) =
+    OracleBm25.topKOr(files, q, k).collect().map(r => (r.getLong(0), r.getDouble(1)))
+  private def got(ds: org.apache.spark.sql.Dataset[Hit]) =
+    ds.collect().map(h => (h.docId, h.score))
+
+  test("OR-mode rank identity incl. a missing term") {
+    for (q <- Seq("import zzqx_nothing", "import val def",
+                  "util_3 zzqx_nothing util_7")) {
+      val g = got(searcher.searchOr(q, 10))
+      val w = oracleOr(q, 10)
+      assert(g.toSeq == w.toSeq, s"query '$q'")
+    }
+  }
+
+  test("OR-mode with all terms missing returns empty") {
+    assert(searcher.searchOr("zzqx_a zzqx_b", 5).isEmpty)
+  }
+
+  test("AND result is a subset of OR result universe; OR ⊇ AND scores") {
+    val and = got(searcher.search("import val", 200)).toMap
+    val or = got(searcher.searchOr("import val", 10000)).toMap
+    and.foreach { case (d, s) =>
+      assert(or.contains(d) && or(d) == s, s"doc $d")
+    }
+  }
+
+  test("k larger than hit count returns all hits") {
+    val q = "import val def class return"
+    val all = OracleBm25.topK(files, q, Int.MaxValue - 1)
+    val n = all.count().toInt
+    assert(n > 0)
+    assert(searcher.search(q, n + 100).count() == n)
+  }
+
+  test("k = 1 returns the single best") {
+    val g = got(searcher.search("import val", 1))
+    val w = OracleBm25.topK(files, "import val", 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g.toSeq == w.toSeq)
+  }
+
+  test("batched search matches per-query search exactly") {
+    val qs = Seq(("a", "import val", 5), ("b", "util_3 import", 7),
+      ("c", "zzqx_nothing import", 5), ("d", "import def val class", 3))
+    val batch = searcher.searchBatch(qs)
+      .orderBy("query_name", "rank")
+      .as[(String, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSeq }
+    for ((name, q, k) <- qs) {
+      val single = got(searcher.search(q, k)).toSeq
+      assert(batch.getOrElse(name, Seq.empty) == single, s"query $name '$q'")
+    }
+  }
+
+  test("batched OR search matches searchOr") {
+    val qs = Seq(("x", "import zzqx_nothing", 5), ("y", "util_3 val", 5))
+    val batch = searcher.searchBatch(qs, conjunctive = false)
+      .orderBy("query_name", "rank")
+      .as[(String, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(t => (t._2, t._3)).toSeq }
+    for ((name, q, k) <- qs) {
+      val single = got(searcher.searchOr(q, k)).toSeq
+      assert(batch.getOrElse(name, Seq.empty) == single, s"query $name '$q'")
+    }
+  }
+
+  test("PsiSpark facade round-trip") {
+    val handle = PsiSpark.openIndex(spark, indexDir)
+    assert(handle.meta.numDocs == TestSpark.corpusCfg.numDocs)
+    assert(handle.query("import val", 3).count() == 3)
+    val r = PsiSpark.psiExecute(
+      Seq(("k1", 1), ("k2", 2)).toDF("key", "v"),
+      Seq(("k1", 9)).toDF("key", "w"),
+      Seq("key"))
+    assert(r.output.count() == 1 && r.report.intersectionCount == 1)
+  }
+}
