@@ -262,17 +262,16 @@ object SparkEntry {
     }),
 
     "q_postings_roundtrip" -> ((s, dir) => {
+      // decode via the native codegen'd Expressions (graft.functions) — the
+      // whole decode runs inside WholeStageCodegen, no typed lambda
       CorpusFixture.ensure(s)
-      import s.implicits._
+      graft.functions.VByteFunctions.register(s)
       s.read.parquet(s"${CorpusFixture.indexDir}/postings.parquet")
-        .as[PostingSeg]
         .filter(col("term").isin(RoundtripTerms: _*))
-        .flatMap { seg =>
-          val ds = Codec.decodeDeltas(seg.docBytes, seg.n)
-          val fs = Codec.decodeInts(seg.tfBytes, seg.n)
-          ds.indices.map(i => (seg.term, ds(i), fs(i)))
-        }
-        .toDF("term", "docId", "tf")
+        .select(col("term"), explode(arrays_zip(
+          expr("vbyte_decode_deltas(docBytes, n)").as("d"),
+          expr("vbyte_decode_ints(tfBytes, n)").as("f"))).as("p"))
+        .select(col("term"), col("p.d").as("docId"), col("p.f").as("tf"))
         .orderBy("term", "docId")
     }),
 

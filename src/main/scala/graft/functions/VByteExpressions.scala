@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.index.Codec
+
+/** Native Catalyst expressions for the posting codec — a custom `Expression`
+  * with `doGenCode` (not a UDF), so decoding posting segments composes with
+  * any SQL/DataFrame pipeline inside whole-stage codegen: the extension-point
+  * tier (b) of the build guidance (compose built-ins < custom Expression <
+  * custom plan < mapPartitions).
+  *
+  * SQL: `vbyte_decode_deltas(docBytes, n)` → array<bigint> of absolute docIds
+  *      `vbyte_decode_ints(tfBytes, n)`    → array<int> of term frequencies
+  */
+case class VByteDecodeDeltas(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vbyte_decode_deltas"
+
+  override protected def nullSafeEval(bytes: Any, n: Any): Any =
+    new GenericArrayData(Codec.decodeDeltas(bytes.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.index.Codec.decodeDeltas($b, $n))")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class VByteDecodeInts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "vbyte_decode_ints"
+
+  override protected def nullSafeEval(bytes: Any, n: Any): Any =
+    new GenericArrayData(Codec.decodeInts(bytes.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, n) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.index.Codec.decodeInts($b, $n))")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** SQL-registration surface; after `register(spark)` use
+  * `expr("vbyte_decode_deltas(docBytes, n)")` from the Column API.
+  */
+object VByteFunctions {
+
+  /** Runtime registration on an existing session (Verify/tests). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vbyte_decode_deltas", es => VByteDecodeDeltas(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vbyte_decode_ints", es => VByteDecodeInts(es(0), es(1)), "built-in")
+  }
+}
+
+/** Session-builder extension — `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` (the SparkSessionExtensions injection pattern).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vbyte_decode_deltas"),
+      new ExpressionInfo(classOf[VByteDecodeDeltas].getName, "vbyte_decode_deltas"),
+      es => VByteDecodeDeltas(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vbyte_decode_ints"),
+      new ExpressionInfo(classOf[VByteDecodeInts].getName, "vbyte_decode_ints"),
+      es => VByteDecodeInts(es(0), es(1))))
+  }
+}

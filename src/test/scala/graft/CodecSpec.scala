@@ -55,6 +55,30 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("native vbyte_decode expressions roundtrip through SQL + codegen") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.VByteFunctions.register(spark)
+    val docs = Array(3L, 17L, 1000L, 1001L, 123456789L)
+    val tfs = Array(1, 7, 2, 300, 42)
+    val df = Seq((Codec.encodeDeltas(docs), Codec.encodeInts(tfs), docs.length))
+      .toDF("docBytes", "tfBytes", "n")
+    val row = df.selectExpr("vbyte_decode_deltas(docBytes, n) AS d",
+      "vbyte_decode_ints(tfBytes, n) AS f").head()
+    assert(row.getSeq[Long](0) == docs.toSeq)
+    assert(row.getSeq[Int](1) == tfs.toSeq)
+    // codegen plan (not fallback): over a real scan (a local relation would
+    // constant-fold to LocalTableScan) the projection stays in codegen
+    val p = s"${TestSpark.workDir}/vbyte_codegen_probe"
+    df.write.mode("overwrite").parquet(p)
+    val scanned = spark.read.parquet(p)
+      .selectExpr("vbyte_decode_deltas(docBytes, n) AS d")
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen span
+    val planStr = scanned.queryExecution.executedPlan.toString
+    assert(planStr.contains("*(1) Project [vbyte_decode_deltas"), planStr)
+    assert(scanned.head().getSeq[Long](0) == docs.toSeq)
+  }
+
   test("gallop finds first index >= target") {
     val arr = Array(1L, 3L, 3L, 7L, 10L, 50L)
     import graft.query.Searcher.gallop
