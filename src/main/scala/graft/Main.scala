@@ -11,9 +11,12 @@ import graft.query.Searcher
   * (`main --config`, psi/apps/psi_launcher/main.cc:59-105).
   *
   * Subcommands:
-  *   gen    --docs N [--seed S] --out DIR          synthesize the corpus
+  *   gen    --docs N [--seed S] [--offset M] --out DIR   synthesize corpus
   *   build  --corpus DIR --index DIR [--docsPerShard N] [--stopAfter STAGE]
-  *   query  --index DIR --q "TERMS" [--k K] [--oracle CORPUS_DIR]
+  *   query  --index DIR --q "TERMS" [--k K] [--or true] [--deltas D1,D2]
+  *          [--oracle CORPUS_DIR]
+  *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
+  *          (drain-available-then-stop incremental delta indexing)
   */
 object Main {
 
@@ -46,7 +49,8 @@ object Main {
         val spark = session("psispark-gen")
         val cfg = CorpusGen.Config(
           numDocs = opts("docs").toLong,
-          seed = opts.getOrElse("seed", "42").toLong)
+          seed = opts.getOrElse("seed", "42").toLong,
+          idOffset = opts.getOrElse("offset", "0").toLong)
         val t0 = System.nanoTime()
         CorpusGen.writeCorpus(spark, cfg, opts("out"))
         val sec = (System.nanoTime() - t0) / 1e9
@@ -71,13 +75,28 @@ object Main {
         }
         spark.stop()
 
+      case "ingest" =>
+        val spark = session("psispark-ingest")
+        val cfg = IndexConfig(
+          docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt)
+        val sq = graft.streaming.IncrementalIndexer.start(
+          spark, opts("watch"), opts("base"), opts("deltas"), cfg)
+        sq.processAllAvailable()
+        sq.stop()
+        val dirs = graft.streaming.IncrementalIndexer.deltaDirs(opts("deltas"))
+        val docs = dirs.map(d => graft.index.IndexBuilder.readMeta(d).numDocs).sum
+        println(s"ingested: ${dirs.size} delta batches, $docs docs total -> ${opts("deltas")}")
+        spark.stop()
+
       case "query" =>
         val spark = session("psispark-query")
-        val searcher = new Searcher(spark, opts("index"))
+        val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)
+        val searcher = new Searcher(spark, opts("index"), deltas)
         val q = opts("q")
         val k = opts.getOrElse("k", "10").toInt
+        val orMode = opts.getOrElse("or", "false").toBoolean
         val t0 = System.nanoTime()
-        val hits = searcher.search(q, k).collect()
+        val hits = (if (orMode) searcher.searchOr(q, k) else searcher.search(q, k)).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
           s"(scored=${searcher.candidatesScored.value} pruned=${searcher.candidatesPruned.value} " +

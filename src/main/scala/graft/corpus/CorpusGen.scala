@@ -21,8 +21,14 @@ import graft.FileRow
   */
 object CorpusGen {
 
+  /** @param idOffset shifts the document id space: a corpus generated with
+    *   (numDocs = n, idOffset = m) is exactly docs m..m+n-1 of the corpus
+    *   (numDocs = m+n) — disjoint slices of one logical corpus, for
+    *   incremental-ingest scenarios.
+    */
   case class Config(numDocs: Long, seed: Long = 42L, numRepos: Int = 40,
-                    midPool: Int = 500, rarePool: Long = 1L << 22)
+                    midPool: Int = 500, rarePool: Long = 1L << 22,
+                    idOffset: Long = 0L)
 
   val keywords: Array[String] = Array(
     "import", "def", "class", "val", "var", "return", "if", "else", "for",
@@ -88,7 +94,7 @@ object CorpusGen {
   def generate(spark: SparkSession, cfg: Config): Dataset[FileRow] = {
     import spark.implicits._
     val c = cfg
-    spark.range(cfg.numDocs).as[Long].map(id => rowFor(id, c))
+    spark.range(cfg.numDocs).as[Long].map(id => rowFor(c.idOffset + id, c))
   }
 
   /** Materialize the corpus plus the reference sha256 sidecar used by the
@@ -102,7 +108,7 @@ object CorpusGen {
     val c = cfg
     spark.range(cfg.numDocs).as[Long]
       .map { id =>
-        val r = rowFor(id, c)
+        val r = rowFor(c.idOffset + id, c)
         (r.repo, r.path, r.commit, sha256Hex(r.content))
       }
       .toDF("repo", "path", "commit", "ref_sha256")

@@ -25,14 +25,40 @@ import graft.index.{Codec, IndexBuilder, IndexMeta, Tokenize}
   * Σ_t idf_t·(k1+1)·blockMax_t can still beat the current k-th score —
   * the WAND/BMW idea applied to the conjunctive traversal.
   */
-class Searcher(spark: SparkSession, indexDir: String) {
+class Searcher(spark: SparkSession, indexDir: String,
+               deltaDirs: Seq[String] = Nil) {
   import spark.implicits._
 
-  val meta: IndexMeta = IndexBuilder.readMeta(indexDir)
-  private val postings = spark.read.parquet(s"$indexDir/postings.parquet")
-  private val dlens = spark.read.parquet(s"$indexDir/dlens.parquet")
-  private val dict = spark.read.parquet(s"$indexDir/dict.parquet")
-  private lazy val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+  private val allDirs = indexDir +: deltaDirs
+  private val baseMeta: IndexMeta = IndexBuilder.readMeta(indexDir)
+
+  /** Combined metadata over base + streaming deltas: corpus-level stats
+    * (numDocs, avgdl) are the SUM over parts, so BM25 idf/norms reflect the
+    * whole logical corpus.
+    */
+  val meta: IndexMeta = if (deltaDirs.isEmpty) baseMeta else {
+    val metas = allDirs.map(IndexBuilder.readMeta)
+    require(metas.forall(m => m.k1 == baseMeta.k1 && m.b == baseMeta.b &&
+      m.docsPerShard == baseMeta.docsPerShard),
+      "base and delta indexes must share k1/b/docsPerShard")
+    val nd = metas.map(_.numDocs).sum
+    val tt = metas.map(_.totalTokens).sum
+    baseMeta.copy(numDocs = nd, totalTokens = tt, avgdl = tt.toDouble / nd,
+      numTerms = -1, numSegments = metas.map(_.numSegments).sum)
+  }
+
+  // per-segment block-max bounds were computed against each part's own
+  // avgdl; they are only admissible for the combined corpus when there are
+  // no deltas (avgdl unchanged)
+  private val usePruning = deltaDirs.isEmpty
+
+  private val postings =
+    spark.read.parquet(allDirs.map(d => s"$d/postings.parquet"): _*)
+  private val dlens = spark.read.parquet(allDirs.map(d => s"$d/dlens.parquet"): _*)
+  private val dict = spark.read.parquet(allDirs.map(d => s"$d/dict.parquet"): _*)
+    .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"),
+      org.apache.spark.sql.functions.sum("cf").as("cf"))
+  private lazy val docs = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
 
   // query metrics (north-rule lineage/metrics requirement)
   val candidatesScored: LongAccumulator = spark.sparkContext.longAccumulator("bm25.candidatesScored")
@@ -77,6 +103,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val termsSorted = terms
+    val pruning = usePruning
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -84,9 +111,9 @@ class Searcher(spark: SparkSession, indexDir: String) {
         if (segsByTerm.size < termsSorted.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
-          val lens = lenIt.next()
+          val lens = Searcher.mergeLens(lenIt)
           Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
-            k1, b, avgdl, k, accS, accP)
+            k1, b, avgdl, k, accS, accP, pruning)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -123,8 +150,8 @@ class Searcher(spark: SparkSession, indexDir: String) {
         if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
-          Searcher.scoreShardOr(segsByTerm, lenIt.next(), present, idfByTerm,
-            k1, b, avgdl, k)
+          Searcher.scoreShardOr(segsByTerm, Searcher.mergeLens(lenIt), present,
+            idfByTerm, k1, b, avgdl, k)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -164,12 +191,13 @@ class Searcher(spark: SparkSession, indexDir: String) {
     val lensAll = dlens.as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val conj = conjunctive
+    val pruningB = usePruning
     val perShard = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val segsByTerm = segIt.toArray.groupBy(_.term)
         if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
         else {
-          val lens = lenIt.next()
+          val lens = Searcher.mergeLens(lenIt)
           live.iterator.flatMap { case (name, ts, k) =>
             val found = ts.count(segsByTerm.contains)
             if (conj && found < ts.length) Iterator.empty
@@ -178,7 +206,7 @@ class Searcher(spark: SparkSession, indexDir: String) {
               val hits =
                 if (conj)
                   Searcher.scoreShard(segsByTerm.filter(e => ts.contains(e._1)),
-                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null)
+                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null, conj && pruningB)
                 else
                   Searcher.scoreShardOr(segsByTerm.filter(e => ts.contains(e._1)),
                     lens, ts, idfByTerm, k1, b, avgdl, k)
@@ -223,22 +251,66 @@ object Searcher {
     var pos: Int = 0
   }
 
+  /** Decode a term's segments for one shard. A base index yields exactly one
+    * segment; with streaming deltas the same (term, shard) may have several
+    * segments covering DISJOINT ascending docId ranges (base ∪ batches) —
+    * concatenate in first-docId order.
+    */
+  private[query] def decodeTermList(term: String, ss: Array[PostingSeg],
+                                    idfK1p1: Double): TermList = {
+    if (ss.length == 1) {
+      val s = ss.head
+      TermList(term, Codec.decodeDeltas(s.docBytes, s.n),
+        Codec.decodeInts(s.tfBytes, s.n), s.blockMaxTfn, idfK1p1)
+    } else {
+      val parts = ss.map(s => (Codec.decodeDeltas(s.docBytes, s.n),
+        Codec.decodeInts(s.tfBytes, s.n), s.blockMaxTfn)).sortBy(_._1.head)
+      // ranges must be disjoint and ascending
+      var i = 1
+      while (i < parts.length) {
+        require(parts(i - 1)._1.last < parts(i)._1.head,
+          s"overlapping posting segments for term '$term'")
+        i += 1
+      }
+      TermList(term, parts.flatMap(_._1), parts.flatMap(_._2),
+        parts.flatMap(_._3), idfK1p1)
+    }
+  }
+
+  /** Merge the (possibly several, with streaming deltas) per-part ShardLens
+    * rows of one shard into a single docId-aligned array: all rows share
+    * firstDocId = shard·docsPerShard and fill disjoint docId slots.
+    */
+  private[query] def mergeLens(it: Iterator[ShardLens]): ShardLens = {
+    val first = it.next()
+    if (!it.hasNext) first
+    else {
+      val rest = it.toArray
+      val all = first +: rest
+      val maxLen = all.map(_.lens.length).max
+      val merged = new Array[Int](maxLen)
+      all.foreach { sl =>
+        var i = 0
+        while (i < sl.lens.length) {
+          if (sl.lens(i) != 0) merged(i) = sl.lens(i)
+          i += 1
+        }
+      }
+      ShardLens(first.shard, first.firstDocId, merged)
+    }
+  }
+
   /** Galloping k-list intersection with block-max candidate pruning and a
     * local top-k heap; emits this shard's surviving hits.
     */
   def scoreShard(segsByTerm: Map[String, Array[PostingSeg]], lens: ShardLens,
                  termsSorted: Seq[String], idfByTerm: Map[String, Double],
                  k1: Double, b: Double, avgdl: Double, k: Int,
-                 accScored: LongAccumulator, accPruned: LongAccumulator): Iterator[Hit] = {
+                 accScored: LongAccumulator, accPruned: LongAccumulator,
+                 pruning: Boolean = true): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
-    // decode each term's (single, by construction) segment for this shard
-    val lists: Array[TermList] = termsSorted.map { t =>
-      val ss = segsByTerm(t)
-      require(ss.length == 1, s"expected one segment per (term,shard), got ${ss.length}")
-      val s = ss.head
-      TermList(t, Codec.decodeDeltas(s.docBytes, s.n), Codec.decodeInts(s.tfBytes, s.n),
-        s.blockMaxTfn, idfByTerm(t) * k1p1)
-    }.toArray
+    val lists: Array[TermList] = termsSorted.map(t =>
+      decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1)).toArray
     // rarest list leads the traversal (smallest-list-leads, the reference's
     // build-on-smaller-side trick, psi/utils/ec_point_store.cc:133-222)
     val byLen = lists.sortBy(_.docs.length)
@@ -269,11 +341,13 @@ object Searcher {
         val theta = if (heap.size >= k) heap.head.score else Double.NegativeInfinity
         var ub = 0.0
         var i = 0
-        while (i < lists.length) {
-          val l = lists(i)
-          ub += l.idfK1p1 * l.blockMax(l.pos >>> 7)
-          i += 1
-        }
+        if (pruning) {
+          while (i < lists.length) {
+            val l = lists(i)
+            ub += l.idfK1p1 * l.blockMax(l.pos >>> 7)
+            i += 1
+          }
+        } else ub = Double.PositiveInfinity
         if (ub <= theta) pruned += 1
         else {
           // exact score, summed in ascending-term order (lists is term-sorted)
@@ -308,13 +382,8 @@ object Searcher {
                    termsSorted: Seq[String], idfByTerm: Map[String, Double],
                    k1: Double, b: Double, avgdl: Double, k: Int): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
-    val lists: Array[TermList] = termsSorted.filter(segsByTerm.contains).map { t =>
-      val ss = segsByTerm(t)
-      require(ss.length == 1, s"expected one segment per (term,shard), got ${ss.length}")
-      val s = ss.head
-      TermList(t, Codec.decodeDeltas(s.docBytes, s.n), Codec.decodeInts(s.tfBytes, s.n),
-        s.blockMaxTfn, idfByTerm(t) * k1p1)
-    }.toArray
+    val lists: Array[TermList] = termsSorted.filter(segsByTerm.contains).map(t =>
+      decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1)).toArray
     if (lists.isEmpty) return Iterator.empty
     val heap = mutable.PriorityQueue.empty[Hit](Ordering.by((h: Hit) => (-h.score, h.docId)))
     var done = false

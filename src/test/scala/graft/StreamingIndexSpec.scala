@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.index.{IndexBuilder, IndexConfig}
+import graft.oracle.OracleBm25
+import graft.query.Searcher
+import graft.streaming.IncrementalIndexer
+
+/** Incremental-ingest golden test: base index over part 1 of the corpus,
+  * stream parts 2a/2b through the incremental indexer as two micro-batches,
+  * then require composite query results to equal the brute-force oracle over
+  * the FULL corpus — scores bit-exact (stats are docId-independent), key
+  * sets identical within each score.
+  */
+class StreamingIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val env: (String, Seq[String], org.apache.spark.sql.DataFrame) = {
+    val (fullCorpus, _) = TestSpark.builtIndex
+    val full = spark.read.parquet(s"$fullCorpus/files.parquet")
+      .withColumn("__id", regexp_extract(col("path"), "f(\\d+)\\.", 1).cast("long"))
+    val work = s"${TestSpark.workDir}/incremental"
+    def writePart(cond: org.apache.spark.sql.Column, dir: String,
+                  mode: String = "overwrite"): Unit =
+      full.filter(cond).drop("__id")
+        .write.mode(mode).parquet(dir)
+
+    // base = ids < 1400 (corpus dir shape: files + matching ref_sha)
+    writePart(col("__id") < 1400, s"$work/corpus1/files.parquet")
+    spark.read.parquet(s"$fullCorpus/ref_sha.parquet")
+      .withColumn("__id", regexp_extract(col("path"), "f(\\d+)\\.", 1).cast("long"))
+      .filter(col("__id") < 1400).drop("__id")
+      .write.mode("overwrite").parquet(s"$work/corpus1/ref_sha.parquet")
+    IndexBuilder.buildFast(spark, s"$work/corpus1", s"$work/base",
+      IndexConfig(docsPerShard = 256, verifySha = true))
+
+    // stream parts 2a and 2b as two separate arrivals
+    val watch = s"$work/arrivals"
+    val deltas = s"$work/deltas"
+    writePart(col("__id") >= 1400 && col("__id") < 1700, watch)
+    val q = IncrementalIndexer.start(spark, watch, s"$work/base", deltas,
+      IndexConfig(docsPerShard = 256))
+    try {
+      q.processAllAvailable()
+      writePart(col("__id") >= 1700, watch, mode = "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    (s"$work/base", IncrementalIndexer.deltaDirs(deltas), full.drop("__id"))
+  }
+
+  private def oracleKeyed(q: String, k: Int) = {
+    val (_, _, full) = env
+    val keyById = full.withColumn("__docId",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("repo", "path", "commit")) - 1).cast("long"))
+      .select(col("__docId"), concat_ws("/", col("repo"), col("path")).as("key"))
+      .as[(Long, String)].collect().toMap
+    OracleBm25.topK(full, q, k).collect()
+      .map(r => (r.getDouble(1), keyById(r.getLong(0))))
+  }
+
+  test("two streamed batches commit as deltas with dense docIds") {
+    val (base, deltas, _) = env
+    assert(deltas.size == 2, s"expected 2 delta batches, got $deltas")
+    val baseN = IndexBuilder.readMeta(base).numDocs
+    assert(baseN == 1400)
+    val d0 = spark.read.parquet(s"${deltas.head}/docs.parquet")
+    val d1 = spark.read.parquet(s"${deltas(1)}/docs.parquet")
+    assert(d0.agg(min("docId")).head.getLong(0) == 1400)
+    assert(d0.count() + d1.count() == 600)
+    assert(d1.agg(max("docId")).head.getLong(0) == 1999)
+  }
+
+  test("composite search over base+deltas matches the full-corpus oracle") {
+    val (base, deltas, full) = env
+    val searcher = new Searcher(spark, base, deltas)
+    assert(searcher.meta.numDocs == 2000)
+    for (q <- Seq("import val", "util_7 import", "import def val", "util_3")) {
+      val got = searcher.searchDocs(q, 10).collect()
+        .map(r => (r.getAs[Double]("score"),
+          r.getAs[String]("repo") + "/" + r.getAs[String]("path")))
+      val want = oracleKeyed(q, 10)
+      assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+        s"scores differ for '$q':\n got ${got.toSeq}\n want ${want.toSeq}")
+      // within equal scores the key sets must match (tiebreak docIds differ
+      // between the incremental assignment and the oracle's global order)
+      val gotBy = got.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      val wantBy = want.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      assert(gotBy == wantBy, s"key sets differ for '$q'")
+    }
+  }
+
+  test("restart is idempotent: recommitting the last batch changes nothing") {
+    val (base, deltas, _) = env
+    val batchDir = deltas.last
+    val before = spark.read.parquet(s"$batchDir/postings.parquet")
+      .select("term", "shard", "n", "docBytes").collect().toSet.size
+    // simulate a replayed foreachBatch for the same batch id
+    val batchDocs = spark.read.parquet(s"$batchDir/docs.parquet")
+    val firstDocId = batchDocs.agg(min("docId")).head.getLong(0)
+    val arrivals = spark.read.parquet(s"${TestSpark.workDir}/incremental/arrivals")
+      .withColumn("__id", regexp_extract(col("path"), "f(\\d+)\\.", 1).cast("long"))
+      .filter(col("__id") >= 1700).drop("__id")
+    IncrementalIndexer.indexBatch(spark, arrivals, batchDir, firstDocId,
+      IndexConfig(docsPerShard = 256))
+    val after = spark.read.parquet(s"$batchDir/postings.parquet")
+      .select("term", "shard", "n", "docBytes").collect().toSet.size
+    assert(before == after)
+  }
+}
