@@ -62,6 +62,24 @@ class ResumeSpec extends AnyFunSuite {
     assert(docs(fastDir).exceptAll(docs(stagedDir)).isEmpty)
   }
 
+  test("index content is independent of build partition count (cluster-size determinism)") {
+    val (corpusDir, _) = TestSpark.builtIndex
+    val d3 = s"${TestSpark.workDir}/index_p3"
+    val d16 = s"${TestSpark.workDir}/index_p16"
+    graft.index.IndexBuilder.buildFast(spark, corpusDir, d3,
+      graft.index.IndexConfig(docsPerShard = 256, buildPartitions = 3))
+    graft.index.IndexBuilder.buildFast(spark, corpusDir, d16,
+      graft.index.IndexConfig(docsPerShard = 256, buildPartitions = 16))
+    def docs(dir: String) = spark.read.parquet(s"$dir/docs.parquet")
+      .select("docId", "repo", "path", "commit", "dlen")
+    assert(docs(d3).exceptAll(docs(d16)).isEmpty)
+    assert(docs(d16).exceptAll(docs(d3)).isEmpty)
+    def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+      .select("term", "shard", "n", "docBytes", "tfBytes")
+    assert(segs(d3).exceptAll(segs(d16)).isEmpty)
+    assert(segs(d16).exceptAll(segs(d3)).isEmpty)
+  }
+
   test("config change invalidates stage markers (fingerprint mismatch)") {
     val tracker = new graft.index.StageTracker(s"${TestSpark.workDir}/index_resume",
       IndexConfig(docsPerShard = 999).fingerprint, "")
