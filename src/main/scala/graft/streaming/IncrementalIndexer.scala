@@ -31,12 +31,14 @@ object IncrementalIndexer {
   def deltaDirs(deltasDir: String): Seq[String] = {
     val root = Paths.get(deltasDir)
     if (!Files.exists(root)) return Nil
-    val it = Files.list(root).iterator()
-    val dirs = Iterator.continually(it).takeWhile(_ => it.hasNext).map(_.next())
-      .filter(p => p.getFileName.toString.startsWith("batch_") &&
-        Files.exists(p.resolve("meta.json")))
-      .map(_.toString).toSeq.sorted
-    dirs
+    val stream = Files.list(root)
+    try {
+      val it = stream.iterator()
+      Iterator.continually(it).takeWhile(_ => it.hasNext).map(_.next())
+        .filter(p => p.getFileName.toString.startsWith("batch_") &&
+          Files.exists(p.resolve("meta.json")))
+        .map(_.toString).toSeq.sorted
+    } finally stream.close()
   }
 
   /** First docId for a new batch: base docs + docs of committed deltas
