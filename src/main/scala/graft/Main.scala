@@ -88,6 +88,16 @@ object Main {
         println(s"ingested: ${dirs.size} delta batches, $docs docs total -> ${opts("deltas")}")
         spark.stop()
 
+      case "compact" =>
+        val spark = session("psispark-compact")
+        val deltas = graft.streaming.IncrementalIndexer.deltaDirs(opts("deltas"))
+        val t0 = System.nanoTime()
+        val meta = IndexBuilder.compact(spark, opts("base"), deltas, opts("out"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"compacted ${deltas.size} deltas into ${opts("out")}: " +
+          f"${meta.numDocs} docs, ${meta.numSegments} segments in $sec%.1f s")
+        spark.stop()
+
       case "query" =>
         val spark = session("psispark-query")
         val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)

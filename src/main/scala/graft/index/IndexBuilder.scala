@@ -278,6 +278,77 @@ object IndexBuilder {
 
   def readMeta(indexDir: String): IndexMeta = Metrics.readMetaJson(s"$indexDir/meta.json")
 
+  /** Compact a base index plus streaming delta mini-indexes into one fresh
+    * standalone index: per-(term, shard) posting runs are merged in docId
+    * order and re-encoded, block-max metadata is recomputed against the
+    * COMBINED corpus avgdl (so query-time pruning is admissible again), the
+    * dictionary and per-shard dlens are re-aggregated. The analog of the
+    * reference regenerating its server cache after appends
+    * (UB-PSI OFFLINE_GEN_CACHE, psi/interface.cc:281-312).
+    */
+  def compact(spark: SparkSession, baseDir: String, deltaDirs: Seq[String],
+              outDir: String): IndexMeta = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(outDir))
+    val dirs = baseDir +: deltaDirs
+    val metas = dirs.map(readMeta)
+    val base = metas.head
+    require(metas.forall(m => m.k1 == base.k1 && m.b == base.b &&
+      m.docsPerShard == base.docsPerShard),
+      "all parts must share k1/b/docsPerShard")
+    val numDocs = metas.map(_.numDocs).sum
+    val totalTokens = metas.map(_.totalTokens).sum
+    val avgdl = totalTokens.toDouble / numDocs
+    val (k1, b) = (base.k1, base.b)
+    val P = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    spark.read.parquet(dirs.map(d => s"$d/docs.parquet"): _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs.parquet")
+
+    spark.read.parquet(dirs.map(d => s"$d/dlens.parquet"): _*).as[ShardLens]
+      .groupByKey(_.shard)
+      .mapGroups((_, it) => graft.query.Searcher.mergeLens(it))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dlens.parquet")
+
+    val mergedLens = spark.read.parquet(s"$outDir/dlens.parquet").as[ShardLens]
+    spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSeg]
+      .groupByKey(_.shard)
+      .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
+        if (!lenIt.hasNext) Iterator.empty
+        else {
+          val lens = lenIt.next()
+          segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
+            val tl = graft.query.Searcher.decodeTermList(term, ss, 0.0)
+            val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
+            val (firsts, maxes) = Codec.blockMeta(tl.docs, tl.tfs, dls, k1, b, avgdl)
+            var sumTf = 0L; var i = 0
+            while (i < tl.tfs.length) { sumTf += tl.tfs(i); i += 1 }
+            PostingSeg(term, shard, tl.docs.length, sumTf,
+              Codec.encodeDeltas(tl.docs), Codec.encodeInts(tl.tfs), firsts, maxes)
+          }
+        }
+      }
+      .repartitionByRange(P, $"term", $"shard")
+      .sortWithinPartitions("term", "shard")
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings.parquet")
+
+    val dictObs = new org.apache.spark.sql.Observation("compactDict")
+    spark.read.parquet(s"$outDir/postings.parquet")
+      .groupBy("term").agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))
+      .observe(dictObs, count(lit(1)).as("numTerms"))
+      .as[TermStat]
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dict.parquet")
+    val numTerms = dictObs.get("numTerms").asInstanceOf[Long]
+
+    // a plain count, NOT an accumulator: the range partitioner's sampling
+    // pass re-executes the cogroup and would double-count
+    val numSegments = spark.read.parquet(s"$outDir/postings.parquet").count()
+    val meta = IndexMeta(numDocs, totalTokens, avgdl, k1, b, base.docsPerShard,
+      numTerms, numSegments, base.fingerprint)
+    Metrics.writeMetaJson(s"$outDir/meta.json", meta)
+    meta
+  }
+
   /** Fast-path build: the same logical pipeline with fused stages and the
   * minimum data movement — no intermediate parquet materialization, so no
   * checkpoint resume. This is the throughput configuration (the staged

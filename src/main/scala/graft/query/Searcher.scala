@@ -256,7 +256,7 @@ object Searcher {
     * segments covering DISJOINT ascending docId ranges (base ∪ batches) —
     * concatenate in first-docId order.
     */
-  private[query] def decodeTermList(term: String, ss: Array[PostingSeg],
+  private[graft] def decodeTermList(term: String, ss: Array[PostingSeg],
                                     idfK1p1: Double): TermList = {
     if (ss.length == 1) {
       val s = ss.head
@@ -281,7 +281,7 @@ object Searcher {
     * rows of one shard into a single docId-aligned array: all rows share
     * firstDocId = shard·docsPerShard and fill disjoint docId slots.
     */
-  private[query] def mergeLens(it: Iterator[ShardLens]): ShardLens = {
+  private[graft] def mergeLens(it: Iterator[ShardLens]): ShardLens = {
     val first = it.next()
     if (!it.hasNext) first
     else {

