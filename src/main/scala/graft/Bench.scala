@@ -21,8 +21,13 @@ import graft.query.Searcher
   */
 object Bench {
 
-  private val BenchDocs: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "480000").toLong
+  /** Bench corpus size scales with the CPU budget (15k docs/core, i.e. 480k
+    * at 32 cpus) so total bench wall-time stays bounded when the driver runs
+    * with fewer cores; override with SPARK_GRAFT_BENCH_DOCS.
+    */
+  private def benchDocs(cpus: Int): Long =
+    sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
+      .getOrElse(15000L * math.max(cpus, 4))
 
   /** Table queries safe at sf0.1 (excludes the intentionally-quadratic
     * oracle-path ops like brute-force all-pairs near-dup).
@@ -58,6 +63,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val lowCpus = math.max(2, cpus / 4)
+    val BenchDocs = benchDocs(cpus)
     val work = Files.createTempDirectory("psispark-bench").toString
     val corpusDir = s"$work/corpus"
     val buildParts = 64
@@ -93,7 +99,7 @@ object Bench {
       t
     }
     val tN2 = buildAt(2)
-    val tLow = buildAt(lowCpus)
+    val tLow = if (lowCpus == 2) tN2 else buildAt(lowCpus)
 
     // ---- phase 2: full-parallelism build + queries ------------------------
     val spark = session(cpus)
@@ -136,7 +142,7 @@ object Bench {
         f""""buildSecLow":$tLow%.2f,"buildSecHigh":$tHigh%.2f,""" +
         f""""filesPerSec2":$thrN2%.1f,"filesPerSecLow":$thrLow%.1f,""" +
         f""""filesPerSecHigh":$thrHigh%.1f,""" +
-        f""""efficiencyNto4N_at2":$eff28%.3f,"efficiencyNto4N_at$lowCpus":$efficiency%.3f}"""
+        f""""eff_2_to_$lowCpus":$eff28%.3f,"eff_${lowCpus}_to_$cpus":$efficiency%.3f}"""
     val idx =
       f"""{"docs":${meta.numDocs},"postings":${meta.totalTokens},""" +
         f""""filesPerSec":$thrHigh%.1f,"postingsPerSec":${meta.totalTokens / tHigh}%.0f,""" +
