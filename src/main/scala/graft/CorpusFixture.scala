@@ -16,18 +16,22 @@ object CorpusFixture {
   val corpusDir = "/root/repo/data/corpus_t2"
   val indexDir = "/root/repo/data/index_t2"
   val cfg: CorpusGen.Config = CorpusGen.Config(numDocs = 4000L, seed = 42L)
-  val idxCfg: IndexConfig = IndexConfig(docsPerShard = 512)
+  val idxCfg: IndexConfig = IndexConfig(docsPerShard = 512, positions = true)
 
   @volatile private var ready = false
 
   /** Idempotent: generates the corpus and builds the index only when absent
-    * (the IndexBuilder's stage markers make a partial build self-healing).
+    * or built with a different config (fingerprint mismatch — e.g. a stale
+    * non-positional index from an older build).
     */
   def ensure(spark: SparkSession): Unit = synchronized {
     if (ready) return
     if (!Files.exists(Paths.get(s"$corpusDir/files.parquet/_SUCCESS")))
       CorpusGen.writeCorpus(spark, cfg, corpusDir)
-    if (!Files.exists(Paths.get(s"$indexDir/meta.json")))
+    val metaPath = Paths.get(s"$indexDir/meta.json")
+    val fresh = Files.exists(metaPath) &&
+      IndexBuilder.readMeta(indexDir).fingerprint == idxCfg.fingerprint
+    if (!fresh)
       IndexBuilder.buildFast(spark, corpusDir, indexDir, idxCfg)
     ready = true
   }

@@ -13,8 +13,9 @@ import graft.query.Searcher
   * Subcommands:
   *   gen    --docs N [--seed S] [--offset M] --out DIR   synthesize corpus
   *   build  --corpus DIR --index DIR [--docsPerShard N] [--stopAfter STAGE]
-  *   query  --index DIR --q "TERMS" [--k K] [--or true] [--deltas D1,D2]
-  *          [--oracle CORPUS_DIR]
+  *          [--positions true]  (positional index for phrase queries)
+  *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
+  *          [--deltas D1,D2] [--oracle CORPUS_DIR]
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
   *          (drain-available-then-stop incremental delta indexing)
   */
@@ -59,11 +60,15 @@ object Main {
 
       case "build" =>
         val spark = session("psispark-build")
+        val positional = opts.getOrElse("positions", "false").toBoolean
         val cfg = IndexConfig(
           docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
-          stopAfterStage = opts.getOrElse("stopAfter", ""))
+          stopAfterStage = opts.getOrElse("stopAfter", ""),
+          positions = positional)
         val t0 = System.nanoTime()
-        val meta = IndexBuilder.build(spark, opts("corpus"), opts("index"), cfg)
+        val meta =
+          if (positional) IndexBuilder.buildFast(spark, opts("corpus"), opts("index"), cfg)
+          else IndexBuilder.build(spark, opts("corpus"), opts("index"), cfg)
         val sec = (System.nanoTime() - t0) / 1e9
         if (meta == null)
           println(s"stopped after stage '${cfg.stopAfterStage}' (checkpoint test mode)")
@@ -105,8 +110,11 @@ object Main {
         val q = opts("q")
         val k = opts.getOrElse("k", "10").toInt
         val orMode = opts.getOrElse("or", "false").toBoolean
+        val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val t0 = System.nanoTime()
-        val hits = (if (orMode) searcher.searchOr(q, k) else searcher.search(q, k)).collect()
+        val hits = (if (phraseMode) searcher.searchPhrase(q, k)
+                    else if (orMode) searcher.searchOr(q, k)
+                    else searcher.search(q, k)).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
           s"(scored=${searcher.candidatesScored.value} pruned=${searcher.candidatesPruned.value} " +
@@ -114,7 +122,11 @@ object Main {
         hits.foreach(h => println(f"  doc=${h.docId}%-8d score=${h.score}%.6f"))
         opts.get("oracle").foreach { corpusDir =>
           val files = spark.read.parquet(s"$corpusDir/files.parquet")
-          val want = OracleBm25.topK(files, q, k).collect()
+          val oracleDf =
+            if (phraseMode) OracleBm25.topKPhrase(files, q, k)
+            else if (orMode) OracleBm25.topKOr(files, q, k)
+            else OracleBm25.topK(files, q, k)
+          val want = oracleDf.collect()
             .map(r => (r.getLong(0), r.getDouble(1)))
           val got = hits.map(h => (h.docId, h.score))
           val ok = got.sameElements(want)

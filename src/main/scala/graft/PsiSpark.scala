@@ -70,6 +70,9 @@ class IndexHandle(spark: SparkSession, val indexDir: String) {
   /** Disjunctive top-k. */
   def queryOr(q: String, k: Int) = searcher.searchOr(q, k)
 
+  /** Exact-phrase top-k (requires IndexConfig(positions = true) at build). */
+  def queryPhrase(q: String, k: Int) = searcher.searchPhrase(q, k)
+
   /** Many queries in one Spark job → (query_name, docId, score, rank). */
   def queryBatch(queries: Seq[(String, String, Int)],
                  conjunctive: Boolean = true): DataFrame =

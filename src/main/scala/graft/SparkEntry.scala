@@ -29,6 +29,8 @@ object SparkEntry {
   // deterministic fixed sample terms for index roundtrip/BM25 gate queries
   private val RoundtripTerms = Seq("import", "def", "util_7", "util_123")
   private val Bm25Query = "import def util_7"
+  private val PhraseQuery = Seq("import", "def")
+  private val Phrase3Query = Seq("import", "def", "class")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -290,6 +292,22 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_phrase" -> ((s, dir) => {
+      // exact-phrase top-k over the positional index (hot bigram)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchPhrase(PhraseQuery.mkString(" "), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_phrase3" -> ((s, dir) => {
+      // 3-token phrase (selective: adjacency thins the candidate set)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchPhrase(Phrase3Query.mkString(" "), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_batch" -> ((s, dir) => {
       // many queries, one Spark job (rows-only gate; per-query rank identity
       // is asserted against the oracle in SearcherSpec)
@@ -416,6 +434,46 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private val FilesGlob = CorpusFixture.filesGlob
+
+  /** Phrase-query oracle: adjacency via self-joins on token ordinals, then
+    * the same BM25 formula as q_bm25_topk restricted to phrase-containing
+    * docs (scores bit-exact: identical term set, identical ascending-term
+    * sum order).
+    */
+  private def phraseOracleSql(phraseTokens: Seq[String], k: Int): String = {
+    val terms = phraseTokens.distinct.sorted
+    val (k1, b) = (1.2, 0.75)
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"
+    }.mkString(",\n  ")
+    val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+    val adjJoins = phraseTokens.zipWithIndex.drop(1).map { case (t, j) =>
+      s"JOIN ptoks p$j ON p$j.docid = p0.docid AND p$j.ord = p0.ord + $j AND p$j.tok = '$t'"
+    }.mkString("\n  ")
+    s"""WITH $corpusCte,
+       |ptoks AS (
+       |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+       |  FROM docs),
+       |pdocs AS (
+       |  SELECT DISTINCT p0.docid FROM ptoks p0
+       |  $adjJoins
+       |  WHERE p0.tok = '${phraseTokens.head}'),
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+       |s AS (SELECT tf.docid, tf.tok,
+       |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+       |agg AS (SELECT docid, count(*) AS nt, $termScores
+       |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+       |SELECT agg.docid AS docId, round($scoreSum, 9) AS score
+       |FROM agg JOIN pdocs ON agg.docid = pdocs.docid
+       |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
+  }
 
   /** Tokenized corpus CTE shared by the index oracles (identical semantics
     * to graft.index.Tokenize).
@@ -606,6 +664,10 @@ object SparkEntry {
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
+
+    "q_bm25_phrase" -> phraseOracleSql(PhraseQuery, 10),
+
+    "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
 
     "q_corpus_langs" ->
       s"""SELECT lang, count(*) AS n FROM read_parquet('$FilesGlob')

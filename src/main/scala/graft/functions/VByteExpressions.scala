@@ -56,6 +56,28 @@ case class VByteDecodeInts(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `token_count(content)` ≡ `size(regexp_extract_all(lower(content),
+  * '[a-z0-9_]+'))` — the tokenizer's document-length measure as a native
+  * codegen'd Expression with a zero-allocation ASCII byte scan
+  * (graft.index.Tokenize.tokenCount), so the index build's dlen column costs
+  * a memory pass instead of a regex + token-array materialization.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override protected def nullSafeEval(s: Any): Any =
+    graft.index.Tokenize.tokenCount(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.Tokenize.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
 /** SQL-registration surface; after `register(spark)` use
   * `expr("vbyte_decode_deltas(docBytes, n)")` from the Column API.
   */
@@ -67,6 +89,8 @@ object VByteFunctions {
       "vbyte_decode_deltas", es => VByteDecodeDeltas(es(0), es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vbyte_decode_ints", es => VByteDecodeInts(es(0), es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count", es => TokenCount(es(0)), "built-in")
   }
 }
 
@@ -81,5 +105,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vbyte_decode_ints"),
       new ExpressionInfo(classOf[VByteDecodeInts].getName, "vbyte_decode_ints"),
       es => VByteDecodeInts(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      es => TokenCount(es(0))))
   }
 }

@@ -1,7 +1,5 @@
 package graft.index
 
-import java.io.ByteArrayOutputStream
-
 /** Delta-gap + variable-byte posting codec.
   *
   * The reference stores fixed-width masked values and truncates them to the
@@ -9,32 +7,57 @@ import java.io.ByteArrayOutputStream
   * psispark's analog is classic IR posting compression: sorted docIDs are
   * delta-gapped then variable-byte encoded, term frequencies are varbyte
   * encoded directly. Pure JVM code, used inside `mapPartitions` (SURVEY.md §2.8).
+  *
+  * Encoders size the output exactly (first pass counts 7-bit groups, second
+  * pass writes into a plain array) — no ByteArrayOutputStream, whose
+  * per-byte `synchronized` write is a measurable cost on a post-biased-
+  * locking JVM at hundreds of millions of postings per build.
   */
 object Codec {
 
-  /** Append one unsigned varint (LEB128, 7 bits per byte, little-endian). */
-  @inline def writeVLong(out: ByteArrayOutputStream, value: Long): Unit = {
+  /** Bytes one value takes as an unsigned LEB128 varint (7 bits per byte). */
+  @inline def vlen(value: Long): Int =
+    if (value == 0L) 1
+    else (63 - java.lang.Long.numberOfLeadingZeros(value)) / 7 + 1
+
+  /** Write one unsigned varint (LEB128, little-endian) at `pos`; returns the
+    * position after the last byte written.
+    */
+  @inline def writeVLong(out: Array[Byte], pos: Int, value: Long): Int = {
     var v = value
+    var p = pos
     while ((v & ~0x7fL) != 0L) {
-      out.write(((v & 0x7fL) | 0x80L).toInt)
+      out(p) = ((v & 0x7fL) | 0x80L).toByte
+      p += 1
       v >>>= 7
     }
-    out.write(v.toInt)
+    out(p) = v.toByte
+    p + 1
   }
 
   /** Encode a strictly-increasing array of longs as delta gaps + varbyte. */
   def encodeDeltas(sorted: Array[Long]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(sorted.length * 2 max 16)
+    var total = 0
     var prev = 0L
     var i = 0
     while (i < sorted.length) {
       val v = sorted(i)
       require(i == 0 || v > prev, s"docIds must be strictly increasing, got $v after $prev")
-      writeVLong(out, if (i == 0) v else v - prev)
+      total += vlen(if (i == 0) v else v - prev)
       prev = v
       i += 1
     }
-    out.toByteArray
+    val out = new Array[Byte](total)
+    var pos = 0
+    prev = 0L
+    i = 0
+    while (i < sorted.length) {
+      val v = sorted(i)
+      pos = writeVLong(out, pos, if (i == 0) v else v - prev)
+      prev = v
+      i += 1
+    }
+    out
   }
 
   /** Decode `n` delta-gapped varbyte longs back to absolute values. */
@@ -62,14 +85,21 @@ object Codec {
 
   /** Encode non-negative ints (term frequencies) as plain varbyte. */
   def encodeInts(xs: Array[Int]): Array[Byte] = {
-    val out = new ByteArrayOutputStream(xs.length max 16)
+    var total = 0
     var i = 0
     while (i < xs.length) {
       require(xs(i) >= 0, "tf must be non-negative")
-      writeVLong(out, xs(i).toLong)
+      total += vlen(xs(i).toLong)
       i += 1
     }
-    out.toByteArray
+    val out = new Array[Byte](total)
+    var pos = 0
+    i = 0
+    while (i < xs.length) {
+      pos = writeVLong(out, pos, xs(i).toLong)
+      i += 1
+    }
+    out
   }
 
   /** Decode `n` varbyte ints. */
@@ -91,6 +121,88 @@ object Codec {
       i += 1
     }
     res
+  }
+
+  /** Encode per-document position lists (positions(i) ascending, one list per
+    * posting) as the concatenation of delta+varbyte lists — first position
+    * absolute, then gaps. List lengths are the tfs, so no extra length table.
+    */
+  def encodePositions(positions: Array[Array[Int]]): Array[Byte] = {
+    var total = 0
+    var d = 0
+    while (d < positions.length) {
+      val ps = positions(d)
+      var prev = 0
+      var i = 0
+      while (i < ps.length) {
+        val v = ps(i)
+        require(i == 0 || v > prev, "positions must be strictly increasing")
+        total += vlen((if (i == 0) v else v - prev).toLong)
+        prev = v
+        i += 1
+      }
+      d += 1
+    }
+    val out = new Array[Byte](total)
+    var pos = 0
+    d = 0
+    while (d < positions.length) {
+      val ps = positions(d)
+      var prev = 0
+      var i = 0
+      while (i < ps.length) {
+        val v = ps(i)
+        pos = writeVLong(out, pos, (if (i == 0) v else v - prev).toLong)
+        prev = v
+        i += 1
+      }
+      d += 1
+    }
+    out
+  }
+
+  /** Decode position lists given the per-doc counts (the decoded tfs).
+    * Returns a flat array; doc i's positions are
+    * `flat[offsets(i) until offsets(i+1))` with `offsets` = prefix sums of
+    * `tfs` (computed by the caller or via [[prefixSums]]).
+    */
+  def decodePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Int] = {
+    var n = 0
+    var i = 0
+    while (i < tfs.length) { n += tfs(i); i += 1 }
+    val res = new Array[Int](n)
+    var pos = 0
+    var o = 0
+    i = 0
+    while (i < tfs.length) {
+      var prev = 0
+      var j = 0
+      while (j < tfs(i)) {
+        var shift = 0
+        var v = 0L
+        var b = 0
+        do {
+          b = bytes(pos) & 0xff
+          v |= (b & 0x7fL) << shift
+          shift += 7
+          pos += 1
+        } while ((b & 0x80) != 0)
+        prev = if (j == 0) v.toInt else prev + v.toInt
+        res(o) = prev
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    res
+  }
+
+  /** offsets(i) = Σ tfs(0..i-1); length = tfs.length + 1. */
+  def prefixSums(tfs: Array[Int]): Array[Int] = {
+    val off = new Array[Int](tfs.length + 1)
+    var i = 0
+    while (i < tfs.length) { off(i + 1) = off(i) + tfs(i); i += 1 }
+    off
   }
 
   /** Postings per block for block-max metadata. */

@@ -29,9 +29,10 @@ case class IndexConfig(docsPerShard: Int = 1 << 12,
                        k1: Double = 1.2,
                        b: Double = 0.75,
                        verifySha: Boolean = true,
-                       stopAfterStage: String = "") {
+                       stopAfterStage: String = "",
+                       positions: Boolean = false) {
   def fingerprint: String =
-    CorpusFp.sha(s"v2|$docsPerShard|$k1|$b|$verifySha")
+    CorpusFp.sha(s"v2|$docsPerShard|$k1|$b|$verifySha|$positions")
 }
 
 private object CorpusFp {
@@ -67,6 +68,8 @@ object IndexBuilder {
   def build(spark: SparkSession, corpusDir: String, indexDir: String,
             cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
+    require(!cfg.positions,
+      "positional indexing is built by buildFast (IndexConfig(positions = true))")
     Files.createDirectories(Paths.get(indexDir))
     val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
             else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -311,26 +314,75 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dlens.parquet")
 
     val mergedLens = spark.read.parquet(s"$outDir/dlens.parquet").as[ShardLens]
-    spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSeg]
-      .groupByKey(_.shard)
-      .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
-        if (!lenIt.hasNext) Iterator.empty
-        else {
-          val lens = lenIt.next()
-          segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
-            val tl = graft.query.Searcher.decodeTermList(term, ss, 0.0)
-            val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
-            val (firsts, maxes) = Codec.blockMeta(tl.docs, tl.tfs, dls, k1, b, avgdl)
-            var sumTf = 0L; var i = 0
-            while (i < tl.tfs.length) { sumTf += tl.tfs(i); i += 1 }
-            PostingSeg(term, shard, tl.docs.length, sumTf,
-              Codec.encodeDeltas(tl.docs), Codec.encodeInts(tl.tfs), firsts, maxes)
+    val partSchemas = dirs.map(d =>
+      spark.read.parquet(s"$d/postings.parquet").columns.contains("posBytes"))
+    require(partSchemas.distinct.size == 1,
+      "cannot compact a mix of positional and non-positional parts")
+    val positional = partSchemas.head
+    if (!positional) {
+      spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSeg]
+        .groupByKey(_.shard)
+        .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
+          if (!lenIt.hasNext) Iterator.empty
+          else {
+            val lens = lenIt.next()
+            segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
+              val tl = graft.query.Searcher.decodeTermList(term, ss, 0.0)
+              val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
+              val (firsts, maxes) = Codec.blockMeta(tl.docs, tl.tfs, dls, k1, b, avgdl)
+              var sumTf = 0L; var i = 0
+              while (i < tl.tfs.length) { sumTf += tl.tfs(i); i += 1 }
+              PostingSeg(term, shard, tl.docs.length, sumTf,
+                Codec.encodeDeltas(tl.docs), Codec.encodeInts(tl.tfs), firsts, maxes)
+            }
           }
         }
-      }
-      .repartitionByRange(P, $"term", $"shard")
-      .sortWithinPartitions("term", "shard")
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings.parquet")
+        .repartitionByRange(P, $"term", $"shard")
+        .sortWithinPartitions("term", "shard")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings.parquet")
+    } else {
+      // positional merge: per-doc position lists are self-contained, so
+      // posBytes concatenates in the same first-docId order the doc/tf
+      // arrays are merged in
+      spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSegP]
+        .groupByKey(_.shard)
+        .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
+          if (!lenIt.hasNext) Iterator.empty
+          else {
+            val lens = lenIt.next()
+            segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
+              val parts = ss.map(s => (Codec.decodeDeltas(s.docBytes, s.n),
+                Codec.decodeInts(s.tfBytes, s.n), s.posBytes)).sortBy(_._1.head)
+              var i = 1
+              while (i < parts.length) {
+                require(parts(i - 1)._1.last < parts(i)._1.head,
+                  s"overlapping posting segments for term '$term'")
+                i += 1
+              }
+              val da = parts.flatMap(_._1)
+              val fa = parts.flatMap(_._2)
+              val pb = {
+                val total = parts.map(_._3.length).sum
+                val out = new Array[Byte](total)
+                var o = 0
+                parts.foreach { p =>
+                  System.arraycopy(p._3, 0, out, o, p._3.length); o += p._3.length
+                }
+                out
+              }
+              val dls = da.map(d => lens.lens((d - lens.firstDocId).toInt))
+              val (firsts, maxes) = Codec.blockMeta(da, fa, dls, k1, b, avgdl)
+              var sumTf = 0L; i = 0
+              while (i < fa.length) { sumTf += fa(i); i += 1 }
+              PostingSegP(term, shard, da.length, sumTf,
+                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes, pb)
+            }
+          }
+        }
+        .repartitionByRange(P, $"term", $"shard")
+        .sortWithinPartitions("term", "shard")
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/postings.parquet")
+    }
 
     val dictObs = new org.apache.spark.sql.Observation("compactDict")
     spark.read.parquet(s"$outDir/postings.parquet")
@@ -419,12 +471,15 @@ object IndexBuilder {
     val dps = cfg.docsPerShard
     val nd = numDocs
 
-    // docs meta (dlen computed inline from the tokenizer — no doclen join);
+    // docs meta (dlen computed inline from the tokenizer — no doclen join;
+    // token_count is the codegen'd zero-allocation twin of
+    // size(termsCol(content)), graft.functions.TokenCount);
     // totalTokens is collected as an observed metric of the same write
+    graft.functions.VByteFunctions.register(spark)
     val docsObs = new org.apache.spark.sql.Observation("docstats")
     withId
       .select($"docId", $"repo", $"path", $"commit", $"lang",
-        size(Tokenize.termsCol($"content")).cast("int").as("dlen"), $"sha256")
+        expr("token_count(content)").as("dlen"), $"sha256")
       .observe(docsObs, sum($"dlen".cast("long")).as("totalTokens"))
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.parquet")
     phase("docs-write")
@@ -453,51 +508,119 @@ object IndexBuilder {
     // per-partition tokenize+count replaces the explode→groupBy exchange.
     // Token-level rows then cross exactly ONE exchange: the (term, shard)
     // range partition that is also the final published sort order.
-    withId
-      .select($"docId", $"content")
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        it.flatMap { case (docId, content) =>
-          val toks = Tokenize.tokenize(content)
-          val dlen = toks.length
-          val shard = (docId / dps).toInt
-          val m = new java.util.HashMap[String, Int]()
-          var i = 0
-          while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
-          import scala.jdk.CollectionConverters._
-          m.entrySet().iterator().asScala.map { e =>
-            (e.getKey, docId, e.getValue.intValue(), dlen, shard)
-          }
-        }
-      }
-      .toDF("term", "docId", "tf", "dlen", "shard")
-      .as[(String, Long, Int, Int, Int)]
-      .repartitionByRange(P, $"term", $"shard")
-      .sortWithinPartitions($"term", $"shard", $"docId")
-      .mapPartitions { it =>
-        val buf = it.buffered
-        new Iterator[PostingSeg] {
-          def hasNext: Boolean = buf.hasNext
-          def next(): PostingSeg = {
-            segCounter.add(1)
-            val (term, _, _, _, shard) = buf.head
-            val docs = Array.newBuilder[Long]
-            val tfs = Array.newBuilder[Int]
-            val dls = Array.newBuilder[Int]
-            while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-              val (_, d, f, dl, _) = buf.next()
-              docs += d; tfs += f; dls += dl
+    if (!cfg.positions) {
+      withId
+        .select($"docId", $"content")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, content) =>
+            val toks = Tokenize.tokenize(content)
+            val dlen = toks.length
+            val shard = (docId / dps).toInt
+            val m = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala.map { e =>
+              (e.getKey, docId, e.getValue.intValue(), dlen, shard)
             }
-            val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-            val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-            var sumTf = 0L; var si = 0
-            while (si < fa.length) { sumTf += fa(si); si += 1 }
-            PostingSeg(term, shard, da.length, sumTf,
-              Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
           }
         }
-      }
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+        .toDF("term", "docId", "tf", "dlen", "shard")
+        .as[(String, Long, Int, Int, Int)]
+        // hash partition (the reference's hash-bucket spill,
+        // psi/utils/hash_bucket_cache.cc:56-57) rather than range: a range
+        // partitioner would SAMPLE its child, re-running the tokenize pass;
+        // each output file is still (term, shard, docId)-sorted, so parquet
+        // row-group pruning on `term IN (...)` stays tight — a term routes
+        // to exactly one file either way
+        .repartition(P, $"term", $"shard")
+        .sortWithinPartitions($"term", $"shard", $"docId")
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[PostingSeg] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): PostingSeg = {
+              segCounter.add(1)
+              val (term, _, _, _, shard) = buf.head
+              val docs = Array.newBuilder[Long]
+              val tfs = Array.newBuilder[Int]
+              val dls = Array.newBuilder[Int]
+              while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+                val (_, d, f, dl, _) = buf.next()
+                docs += d; tfs += f; dls += dl
+              }
+              val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
+              var sumTf = 0L; var si = 0
+              while (si < fa.length) { sumTf += fa(si); si += 1 }
+              PostingSeg(term, shard, da.length, sumTf,
+                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+            }
+          }
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    } else {
+      // positional variant (opt-in): each (term, docId) row carries the
+      // ascending in-document token positions; the segment gains posBytes
+      // (PostingSegP) enabling phrase queries (Searcher.searchPhrase)
+      withId
+        .select($"docId", $"content")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (docId, content) =>
+            val toks = Tokenize.tokenize(content)
+            val dlen = toks.length
+            val shard = (docId / dps).toInt
+            val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+            var i = 0
+            while (i < toks.length) {
+              var bld = m.get(toks(i))
+              if (bld == null) {
+                bld = new scala.collection.mutable.ArrayBuilder.ofInt
+                m.put(toks(i), bld)
+              }
+              bld += i
+              i += 1
+            }
+            import scala.jdk.CollectionConverters._
+            m.entrySet().iterator().asScala.map { e =>
+              val ps = e.getValue.result()
+              (e.getKey, docId, ps.length, dlen, shard, ps)
+            }
+          }
+        }
+        .toDF("term", "docId", "tf", "dlen", "shard", "pos")
+        .as[(String, Long, Int, Int, Int, Array[Int])]
+        .repartition(P, $"term", $"shard") // see non-positional branch note
+        .sortWithinPartitions($"term", $"shard", $"docId")
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[PostingSegP] {
+            def hasNext: Boolean = buf.hasNext
+            def next(): PostingSegP = {
+              segCounter.add(1)
+              val (term, _, _, _, shard, _) = buf.head
+              val docs = Array.newBuilder[Long]
+              val tfs = Array.newBuilder[Int]
+              val dls = Array.newBuilder[Int]
+              val poss = Array.newBuilder[Array[Int]]
+              while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+                val (_, d, f, dl, _, ps) = buf.next()
+                docs += d; tfs += f; dls += dl; poss += ps
+              }
+              val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
+              var sumTf = 0L; var si = 0
+              while (si < fa.length) { sumTf += fa(si); si += 1 }
+              PostingSegP(term, shard, da.length, sumTf,
+                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes,
+                Codec.encodePositions(poss.result()))
+            }
+          }
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    }
     fullSorted.unpersist()
     phase("publish-write")
 

@@ -31,6 +31,20 @@ case class PostingSeg(term: String, shard: Int, n: Int, sumTf: Long,
                       docBytes: Array[Byte], tfBytes: Array[Byte],
                       blockFirst: Array[Long], blockMaxTfn: Array[Float])
 
+/** Positional posting segment (IndexConfig(positions = true) builds):
+  * `posBytes` is the concatenation, in docId order, of each document's
+  * ascending in-document token positions encoded delta+varbyte (first
+  * position absolute, then gaps); the per-doc list length IS that posting's
+  * tf, so decoding needs only `tfBytes`. Byte-concatenable across disjoint
+  * docId ranges — merge/compaction is pure concatenation in first-docId
+  * order, like `docBytes`... except docBytes' first value is absolute, so
+  * only `posBytes` concatenates trivially.
+  */
+case class PostingSegP(term: String, shard: Int, n: Int, sumTf: Long,
+                       docBytes: Array[Byte], tfBytes: Array[Byte],
+                       blockFirst: Array[Long], blockMaxTfn: Array[Float],
+                       posBytes: Array[Byte])
+
 /** Term dictionary row (df = doc frequency, cf = collection frequency) — the
   * analog of KeyInfo's per-key dup counts (psi/utils/table_utils.cc:280-374).
   */

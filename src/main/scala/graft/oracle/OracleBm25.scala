@@ -35,8 +35,37 @@ object OracleBm25 {
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
     topKImpl(files, query, k, k1, b, conjunctive = false)
 
+  /** Top-k for an exact-phrase query: ordered-adjacency via posexplode +
+    * self-joins on token ordinals (plain DataFrame ops), then the standard
+    * conjunctive BM25 over the phrase's distinct terms restricted to
+    * phrase-containing docs — same determinism contract.
+    */
+  def topKPhrase(files: DataFrame, phrase: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val tokens = Tokenize.tokenize(phrase).toSeq
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (tokens.isEmpty) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val ptoks = withId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+    var cand = ptoks.filter($"term" === tokens.head).select($"docId", $"ord")
+    tokens.zipWithIndex.drop(1).foreach { case (t, j) =>
+      val next = ptoks.filter($"term" === t)
+        .select($"docId".as("d2"), $"ord".as("o2"))
+      cand = cand.join(next, cand("docId") === $"d2" && $"o2" === cand("ord") + j)
+        .select(cand("docId"), cand("ord"))
+    }
+    val phraseDocs = cand.select("docId").distinct()
+    topKImpl(files, tokens.distinct.sorted.mkString(" "), k, k1, b,
+      conjunctive = true, restrictTo = Some(phraseDocs))
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
-                       k1: Double, b: Double, conjunctive: Boolean): DataFrame = {
+                       k1: Double, b: Double, conjunctive: Boolean,
+                       restrictTo: Option[DataFrame] = None): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val terms = Tokenize.tokenize(query).distinct.sorted
@@ -70,11 +99,12 @@ object OracleBm25 {
           ($"tf".cast("double") +
             lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
 
-    scored.groupBy("docId")
+    val agg = scored.groupBy("docId")
       .agg(count(lit(1)).as("nTerms"),
         aggregate(sort_array(collect_list(struct($"term", $"s"))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
       .filter(if (conjunctive) $"nTerms" === terms.length else $"nTerms" >= 1)
+    restrictTo.fold(agg)(docs => agg.join(docs, Seq("docId"), "left_semi"))
       .select("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)

@@ -55,10 +55,36 @@ class Searcher(spark: SparkSession, indexDir: String,
   private val postings =
     spark.read.parquet(allDirs.map(d => s"$d/postings.parquet"): _*)
   private val dlens = spark.read.parquet(allDirs.map(d => s"$d/dlens.parquet"): _*)
-  private val dict = spark.read.parquet(allDirs.map(d => s"$d/dict.parquet"): _*)
-    .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"),
-      org.apache.spark.sql.functions.sum("cf").as("cf"))
   private lazy val docs = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
+
+  /** Driver-side term metadata cache: df (global, summed over base+deltas)
+    * and the sorted set of shards holding the term. The index is immutable
+    * for the lifetime of a Searcher, so caching is sound — this is the
+    * in-memory term dictionary every native engine keeps (the reference
+    * holds its small side wholly in memory the same way,
+    * psi/utils/ec_point_store.cc:441-460). One light Spark job per batch of
+    * UNSEEN terms, reading only the (term, shard, n) metadata columns of the
+    * postings parquet with `term IN (...)` pushed to the scan; repeat
+    * queries over known terms launch no dictionary job at all.
+    */
+  private val termInfoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Searcher.TermInfo]()
+
+  private def lookupTerms(terms: Seq[String]): Map[String, Searcher.TermInfo] = {
+    val missing = terms.filterNot(termInfoCache.containsKey)
+    if (missing.nonEmpty) {
+      val rows = postings.filter($"term".isin(missing: _*))
+        .select($"term", $"shard", $"n".cast("long"))
+        .as[(String, Int, Long)].collect()
+      val byTerm = rows.groupBy(_._1)
+      missing.foreach { t =>
+        val rs = byTerm.getOrElse(t, Array.empty[(String, Int, Long)])
+        termInfoCache.put(t,
+          Searcher.TermInfo(rs.map(_._3).sum, rs.map(_._2).distinct.sorted))
+      }
+    }
+    terms.map(t => t -> termInfoCache.get(t)).toMap
+  }
 
   // query metrics (north-rule lineage/metrics requirement)
   val candidatesScored: LongAccumulator = spark.sparkContext.longAccumulator("bm25.candidatesScored")
@@ -78,27 +104,25 @@ class Searcher(spark: SparkSession, indexDir: String,
   def search(query: String, k: Int): Dataset[Hit] = {
     val terms = Tokenize.tokenize(query).distinct.sorted
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    val stats = dict.filter($"term".isin(terms: _*)).as[TermStat].collect()
+    val info = lookupTerms(terms)
     // AND semantics: any term absent from the dictionary → empty result.
     // The analog of the reference's empty-party early exit
     // (psi/utils/bucket.cc:54-60).
-    if (stats.length < terms.length) return spark.emptyDataset[Hit]
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
     val idfByTerm: Map[String, Double] =
-      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
 
-    // `term IN (...)` reaches the parquet scan (row groups are term-sorted by
-    // the publish stage), so only the query's posting segments are read.
-    val segs = postings.filter($"term".isin(terms: _*)).as[PostingSeg]
-
-    // shards holding ALL query terms (reads only (term, shard) columns)
-    val nTerms = terms.length
-    val candShards = segs.groupBy("shard")
-      .agg(countDistinct("term").as("nt"))
-      .filter($"nt" === nTerms)
-      .select("shard").as[Int].collect()
+    // shards holding ALL query terms — intersection of the cached per-term
+    // shard sets, computed driver-side with no Spark job
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
     if (candShards.isEmpty) return spark.emptyDataset[Hit]
 
-    val segsC = segs.filter($"shard".isin(candShards.toSeq: _*))
+    // `term IN (...) AND shard IN (...)` both reach the parquet scan (row
+    // groups are (term, shard)-sorted by the publish stage), so only the
+    // query's posting segments in candidate shards are read.
+    val segsC = postings.filter($"term".isin(terms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
@@ -114,6 +138,47 @@ class Searcher(spark: SparkSession, indexDir: String,
           val lens = Searcher.mergeLens(lenIt)
           Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
             k1, b, avgdl, k, accS, accP, pruning)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Exact-phrase top-k BM25 — requires a positional index
+    * (`IndexConfig(positions = true)`). Candidates must contain ALL phrase
+    * terms (the same galloping conjunctive intersection as `search`), then
+    * the ordered-adjacency check runs over the decoded per-doc position
+    * lists (`cur ← (cur + 1) ∩ positions(token_j)`, sorted two-pointer);
+    * surviving docs are scored by BM25 over the phrase's DISTINCT terms with
+    * the identical determinism contract as `search` (ascending-term
+    * accumulation, (score desc, docId asc) tiebreak).
+    */
+  def searchPhrase(phrase: String, k: Int): Dataset[Hit] = {
+    val tokenSeq = Tokenize.tokenize(phrase).toSeq
+    if (tokenSeq.isEmpty) return spark.emptyDataset[Hit]
+    require(postings.columns.contains("posBytes"),
+      "phrase search requires a positional index (IndexConfig(positions = true))")
+    val terms = tokenSeq.distinct.sorted
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
+    val idfByTerm: Map[String, Double] =
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+    val segsC = postings.filter($"term".isin(terms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val (seqB, termsB) = (tokenSeq, terms)
+    val accT = shardsTouched
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val segsByTerm = segIt.toArray.groupBy(_.term)
+        if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
+            seqB, termsB, idfByTerm, k1, b, avgdl, k)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -135,13 +200,16 @@ class Searcher(spark: SparkSession, indexDir: String,
   def searchOr(query: String, k: Int): Dataset[Hit] = {
     val terms = Tokenize.tokenize(query).distinct.sorted
     if (terms.isEmpty) return spark.emptyDataset[Hit]
-    val stats = dict.filter($"term".isin(terms: _*)).as[TermStat].collect()
-    if (stats.isEmpty) return spark.emptyDataset[Hit]
-    val present = stats.map(_.term).sorted.toSeq
+    val info = lookupTerms(terms)
+    val present = terms.filter(t => info(t).df > 0L).toSeq
+    if (present.isEmpty) return spark.emptyDataset[Hit]
     val idfByTerm: Map[String, Double] =
-      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
-    val segs = postings.filter($"term".isin(present: _*)).as[PostingSeg]
-    val lensAll = dlens.as[ShardLens]
+      present.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    // shards holding ANY present term (union, driver-side)
+    val candShards = present.flatMap(t => info(t).shards).distinct.sorted
+    val segs = postings.filter($"term".isin(present: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+    val lensAll = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val accT = shardsTouched
     val hits = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
@@ -172,9 +240,9 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (allTerms.isEmpty)
       return Seq.empty[(String, Long, Double, Int)]
         .toDF("query_name", "docId", "score", "rank")
-    val stats = dict.filter($"term".isin(allTerms: _*)).as[TermStat].collect()
-    val idfByTerm: Map[String, Double] =
-      stats.map(s => s.term -> idf(meta.numDocs, s.df)).toMap
+    val info = lookupTerms(allTerms)
+    val idfByTerm: Map[String, Double] = allTerms.filter(t => info(t).df > 0L)
+      .map(t => t -> idf(meta.numDocs, info(t).df)).toMap
     // resolve each query against the dictionary up front (AND + missing
     // term → dead query, the early-exit analog)
     val live = parsed.flatMap { case (name, ts, k) =>
@@ -187,8 +255,19 @@ class Searcher(spark: SparkSession, indexDir: String,
       return Seq.empty[(String, Long, Double, Int)]
         .toDF("query_name", "docId", "score", "rank")
     val liveTerms = live.flatMap(_._2).distinct.sorted
-    val segs = postings.filter($"term".isin(liveTerms: _*)).as[PostingSeg]
-    val lensAll = dlens.as[ShardLens]
+    // shards any live query can hit: per-query intersection (conjunctive) /
+    // union (disjunctive) of the cached per-term shard sets, then the union
+    // across queries — driver-side, no Spark job
+    val candShards = live.flatMap { case (_, ts, _) =>
+      if (conjunctive) ts.map(t => info(t).shards).reduce(Searcher.intersectSorted).toSeq
+      else ts.flatMap(t => info(t).shards.toSeq)
+    }.distinct.sorted
+    if (candShards.isEmpty)
+      return Seq.empty[(String, Long, Double, Int)]
+        .toDF("query_name", "docId", "score", "rank")
+    val segs = postings.filter($"term".isin(liveTerms: _*) &&
+      $"shard".isin(candShards: _*)).as[PostingSeg]
+    val lensAll = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val conj = conjunctive
     val pruningB = usePruning
@@ -228,6 +307,23 @@ class Searcher(spark: SparkSession, indexDir: String,
 }
 
 object Searcher {
+
+  /** Cached per-term metadata: global doc frequency and the sorted shard set
+    * holding the term (df == 0 ⇔ term absent from the index).
+    */
+  private[query] case class TermInfo(df: Long, shards: Array[Int])
+
+  /** Intersection of two sorted int arrays (two-cursor merge). */
+  private[query] def intersectSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { out += a(i); i += 1; j += 1 }
+    }
+    out.result()
+  }
 
   /** First index `>= from` with `arr(idx) >= target` (exponential + binary). */
   def gallop(arr: Array[Long], from: Int, target: Long): Int = {
@@ -275,6 +371,116 @@ object Searcher {
       TermList(term, parts.flatMap(_._1), parts.flatMap(_._2),
         parts.flatMap(_._3), idfK1p1)
     }
+  }
+
+  private[query] case class PosList(term: String, docs: Array[Long],
+                                    tfs: Array[Int], flat: Array[Int],
+                                    off: Array[Int]) {
+    var pos: Int = 0
+  }
+
+  /** Decode a positional term list for one shard (multi-segment = disjoint
+    * ascending docId ranges, as in [[decodeTermList]]; the per-doc position
+    * lists are self-contained so the flat position array concatenates in the
+    * same order).
+    */
+  private[graft] def decodePosList(term: String, ss: Array[PostingSegP]): PosList = {
+    if (ss.length == 1) {
+      val s = ss.head
+      val docs = Codec.decodeDeltas(s.docBytes, s.n)
+      val tfs = Codec.decodeInts(s.tfBytes, s.n)
+      PosList(term, docs, tfs, Codec.decodePositions(s.posBytes, tfs),
+        Codec.prefixSums(tfs))
+    } else {
+      val parts = ss.map { s =>
+        val docs = Codec.decodeDeltas(s.docBytes, s.n)
+        val tfs = Codec.decodeInts(s.tfBytes, s.n)
+        (docs, tfs, Codec.decodePositions(s.posBytes, tfs))
+      }.sortBy(_._1.head)
+      var i = 1
+      while (i < parts.length) {
+        require(parts(i - 1)._1.last < parts(i)._1.head,
+          s"overlapping posting segments for term '$term'")
+        i += 1
+      }
+      val tfs = parts.flatMap(_._2)
+      PosList(term, parts.flatMap(_._1), tfs, parts.flatMap(_._3),
+        Codec.prefixSums(tfs))
+    }
+  }
+
+  /** Phrase scoring for one shard: conjunctive galloping intersection, then
+    * ordered-adjacency verification over position lists, then exact BM25
+    * over the distinct terms.
+    */
+  def scoreShardPhrase(segsByTerm: Map[String, Array[PostingSegP]],
+                       lens: ShardLens, tokenSeq: Seq[String],
+                       termsSorted: Seq[String], idfByTerm: Map[String, Double],
+                       k1: Double, b: Double, avgdl: Double,
+                       k: Int): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    val lists: Array[PosList] =
+      termsSorted.map(t => decodePosList(t, segsByTerm(t))).toArray
+    val byTerm = lists.map(l => l.term -> l).toMap
+    val seqLists = tokenSeq.map(byTerm).toArray
+    val byLen = lists.sortBy(_.docs.length)
+    val lead = byLen(0)
+    val others = byLen.drop(1)
+    val heap = mutable.PriorityQueue.empty[Hit](Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var li = 0
+    var advanced = true
+    while (li < lead.docs.length && advanced) {
+      val cand = lead.docs(li)
+      var ok = true
+      var oi = 0
+      while (ok && oi < others.length) {
+        val ol = others(oi)
+        ol.pos = gallop(ol.docs, ol.pos, cand)
+        if (ol.pos >= ol.docs.length) { ok = false; advanced = false }
+        else if (ol.docs(ol.pos) != cand) ok = false
+        oi += 1
+      }
+      if (ok) {
+        lead.pos = li
+        // adjacency: cur ← (cur + 1) ∩ positions(token_j), all sorted asc
+        val l0 = seqLists(0)
+        var cur: Array[Int] =
+          java.util.Arrays.copyOfRange(l0.flat, l0.off(l0.pos), l0.off(l0.pos + 1))
+        var j = 1
+        while (cur.nonEmpty && j < seqLists.length) {
+          val lj = seqLists(j)
+          val s = lj.off(lj.pos)
+          val e = lj.off(lj.pos + 1)
+          val out = Array.newBuilder[Int]
+          var a = 0
+          var x = s
+          while (a < cur.length && x < e) {
+            val want = cur(a) + 1
+            if (lj.flat(x) < want) x += 1
+            else if (lj.flat(x) > want) a += 1
+            else { out += want; a += 1; x += 1 }
+          }
+          cur = out.result()
+          j += 1
+        }
+        if (cur.nonEmpty) {
+          var score = 0.0
+          val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+          var i = 0
+          while (i < lists.length) { // term-sorted → deterministic sum order
+            val l = lists(i)
+            val tf = l.tfs(l.pos).toDouble
+            score += (idfByTerm(l.term) * (tf * k1p1)) /
+              (tf + k1 * (1.0 - b + b * (dlen / avgdl)))
+            i += 1
+          }
+          if (heap.size < k) heap.enqueue(Hit(cand, score))
+          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+        }
+      }
+      li += 1
+    }
+    heap.iterator.toArray.iterator
   }
 
   /** Merge the (possibly several, with streaming deltas) per-part ShardLens

@@ -89,26 +89,55 @@ object IncrementalIndexer {
 
     val (k1, b) = (cfg.k1, cfg.b)
     val avgdl = totalTokens.toDouble / math.max(numDocs, 1)
-    withId
-      .select($"docId", (($"docId" / dps).cast("int")).as("shard"), $"dlen",
-        explode(Tokenize.termsCol($"content")).as("term"))
-      .groupBy("term", "docId", "shard", "dlen")
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .as[(String, Long, Int, Int, Int)]
-      .groupByKey(r => (r._1, r._3))
-      .mapGroups { (key, it) =>
-        val (term, shard) = key
-        val rows = it.toArray.sortBy(_._2)
-        val da = rows.map(_._2)
-        val fa = rows.map(_._5)
-        val la = rows.map(_._4)
-        val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-        var sumTf = 0L; var i = 0
-        while (i < fa.length) { sumTf += fa(i); i += 1 }
-        PostingSeg(term, shard, da.length, sumTf,
-          Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
-      }
-      .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
+    if (!cfg.positions) {
+      withId
+        .select($"docId", (($"docId" / dps).cast("int")).as("shard"), $"dlen",
+          explode(Tokenize.termsCol($"content")).as("term"))
+        .groupBy("term", "docId", "shard", "dlen")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .as[(String, Long, Int, Int, Int)]
+        .groupByKey(r => (r._1, r._3))
+        .mapGroups { (key, it) =>
+          val (term, shard) = key
+          val rows = it.toArray.sortBy(_._2)
+          val da = rows.map(_._2)
+          val fa = rows.map(_._5)
+          val la = rows.map(_._4)
+          val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
+          var sumTf = 0L; var i = 0
+          while (i < fa.length) { sumTf += fa(i); i += 1 }
+          PostingSeg(term, shard, da.length, sumTf,
+            Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+        }
+        .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
+    } else {
+      // positional deltas: ordinals via posexplode, per-(term, doc) ascending
+      // position lists; same PostingSegP shape as the positional fast build,
+      // so composite and compacted phrase search work over streamed batches
+      withId
+        .select($"docId", (($"docId" / dps).cast("int")).as("shard"), $"dlen",
+          posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+        .groupBy("term", "docId", "shard", "dlen")
+        .agg(sort_array(collect_list($"ord")).as("pos"))
+        .select($"term", $"docId", $"shard", $"dlen", $"pos")
+        .as[(String, Long, Int, Int, Array[Int])]
+        .groupByKey(r => (r._1, r._3))
+        .mapGroups { (key, it) =>
+          val (term, shard) = key
+          val rows = it.toArray.sortBy(_._2)
+          val da = rows.map(_._2)
+          val ps = rows.map(_._5)
+          val fa = ps.map(_.length)
+          val la = rows.map(_._4)
+          val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
+          var sumTf = 0L; var i = 0
+          while (i < fa.length) { sumTf += fa(i); i += 1 }
+          PostingSegP(term, shard, da.length, sumTf,
+            Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes,
+            Codec.encodePositions(ps))
+        }
+        .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
+    }
 
     spark.read.parquet(s"$batchDir/postings.parquet")
       .groupBy("term").agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, IndexConfig, Tokenize}
+import graft.oracle.OracleBm25
+import graft.query.Searcher
+import graft.streaming.IncrementalIndexer
+
+/** Exact-phrase search over the positional index: rank identity against the
+  * brute-force posexplode/self-join oracle (OracleBm25.topKPhrase), edge
+  * cases (repeated adjacent tokens, order sensitivity, no-hit, single
+  * token), and the positional delta + compaction paths.
+  */
+class PhraseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val posCfg = IndexConfig(docsPerShard = 256, positions = true)
+
+  lazy val posIndex: String = {
+    val (c, _) = TestSpark.builtIndex
+    val i = s"${TestSpark.workDir}/indexpos"
+    IndexBuilder.buildFast(spark, c, i, posCfg)
+    i
+  }
+  private lazy val files =
+    spark.read.parquet(s"${TestSpark.builtIndex._1}/files.parquet")
+
+  private def assertRankIdentical(q: String, k: Int): Unit = {
+    val got = new Searcher(spark, posIndex).searchPhrase(q, k).collect()
+      .map(h => (h.docId, h.score))
+    val want = OracleBm25.topKPhrase(files, q, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want),
+      s"phrase '$q':\n got  ${got.toSeq}\n want ${want.toSeq}")
+  }
+
+  test("hot bigram phrase is rank-identical to the oracle") {
+    assertRankIdentical("import def", 10)
+    assertRankIdentical("def import", 10) // order-sensitive: separate result
+  }
+
+  test("3-token phrase is rank-identical to the oracle") {
+    assertRankIdentical("import def class", 10)
+  }
+
+  test("phrase lifted verbatim from a document is found") {
+    val toks = Tokenize.tokenize(CorpusGen.rowFor(123, TestSpark.corpusCfg).content)
+    val phrase = toks.slice(5, 8).mkString(" ")
+    val hits = new Searcher(spark, posIndex).searchPhrase(phrase, 2000).collect()
+    assert(hits.nonEmpty, s"verbatim phrase '$phrase' not found")
+    assertRankIdentical(phrase, 10)
+  }
+
+  test("adjacent repeated-token phrase (same list consulted twice)") {
+    val found = (0L until 200L).iterator.flatMap { id =>
+      Tokenize.tokenize(CorpusGen.rowFor(id, TestSpark.corpusCfg).content)
+        .sliding(2).find(p => p.length == 2 && p(0) == p(1)).map(_.mkString(" "))
+    }.take(1).toSeq
+    assert(found.nonEmpty, "no adjacent duplicate token pair in first 200 docs")
+    assertRankIdentical(found.head, 10)
+  }
+
+  test("no-hit and unknown-term phrases are empty") {
+    val s = new Searcher(spark, posIndex)
+    assert(s.searchPhrase("import zzqx_not_in_pool", 10).collect().isEmpty)
+    assert(s.searchPhrase("", 10).collect().isEmpty)
+  }
+
+  test("single-token phrase equals conjunctive search") {
+    val s = new Searcher(spark, posIndex)
+    val got = s.searchPhrase("util_7", 10).collect().map(h => (h.docId, h.score))
+    val want = s.search("util_7", 10).collect().map(h => (h.docId, h.score))
+    assert(got.sameElements(want))
+  }
+
+  test("phrase hits are a subset of the conjunctive AND hits") {
+    val s = new Searcher(spark, posIndex)
+    val phraseDocs = s.searchPhrase("import def", 2000).collect().map(_.docId).toSet
+    val andDocs = s.search("def import", 2000).collect().map(_.docId).toSet
+    assert(phraseDocs.nonEmpty && phraseDocs.subsetOf(andDocs))
+  }
+
+  test("non-positional index refuses phrase search with a clear error") {
+    val (_, plainIndex) = TestSpark.builtIndex
+    val e = intercept[IllegalArgumentException] {
+      new Searcher(spark, plainIndex).searchPhrase("import def", 5)
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
+  test("positional delta + compaction answer phrase queries like a full rebuild") {
+    val (c, _) = TestSpark.builtIndex
+    val full = spark.read.parquet(s"$c/files.parquet")
+    val work = s"${TestSpark.workDir}/posdelta"
+    // base = repos < repo-0020 (a key-prefix split keeps base docIds dense in
+    // the base's own key order); delta continues the docId space
+    val baseFiles = full.filter($"repo" < "repo-0020")
+    val deltaFiles = full.filter($"repo" >= "repo-0020")
+    baseFiles.write.mode("overwrite").parquet(s"$work/corpus1/files.parquet")
+    spark.read.parquet(s"$c/ref_sha.parquet")
+      .join(baseFiles.select("repo", "path", "commit"), Seq("repo", "path", "commit"))
+      .write.mode("overwrite").parquet(s"$work/corpus1/ref_sha.parquet")
+    IndexBuilder.buildFast(spark, s"$work/corpus1", s"$work/base", posCfg)
+    val baseN = IndexBuilder.readMeta(s"$work/base").numDocs
+    IncrementalIndexer.indexBatch(spark, deltaFiles, s"$work/delta0", baseN, posCfg)
+
+    def keyed(hits: Array[Hit], docsDirs: Seq[String]): Seq[(Double, Set[String])] = {
+      val docs = spark.read.parquet(docsDirs.map(d => s"$d/docs.parquet"): _*)
+        .select($"docId", concat_ws("/", $"repo", $"path").as("key"))
+        .as[(Long, String)].collect().toMap
+      hits.groupBy(_.score).toSeq.sortBy(-_._1)
+        .map { case (s, hs) => (s, hs.map(h => docs(h.docId)).toSet) }
+    }
+    val oracle = {
+      val rows = OracleBm25.topKPhrase(full, "import def", 10).collect()
+      val keyById = full.withColumn("__docId",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("repo", "path", "commit")) - 1).cast("long"))
+        .select($"__docId", concat_ws("/", $"repo", $"path").as("key"))
+        .as[(Long, String)].collect().toMap
+      rows.groupBy(_.getDouble(1)).toSeq.sortBy(-_._1)
+        .map { case (s, rs) => (s, rs.map(r => keyById(r.getLong(0))).toSet) }
+    }
+
+    val composite = new Searcher(spark, s"$work/base", Seq(s"$work/delta0"))
+    assert(composite.meta.numDocs == full.count())
+    val gotC = keyed(composite.searchPhrase("import def", 10).collect(),
+      Seq(s"$work/base", s"$work/delta0"))
+    assert(gotC == oracle, s"composite phrase:\n got  $gotC\n want $oracle")
+
+    IndexBuilder.compact(spark, s"$work/base", Seq(s"$work/delta0"), s"$work/compacted")
+    val gotK = keyed(new Searcher(spark, s"$work/compacted")
+      .searchPhrase("import def", 10).collect(), Seq(s"$work/compacted"))
+    assert(gotK == oracle, s"compacted phrase:\n got  $gotK\n want $oracle")
+  }
+}

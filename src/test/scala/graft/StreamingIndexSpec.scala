@@ -37,17 +37,22 @@ class StreamingIndexSpec extends AnyFunSuite {
     IndexBuilder.buildFast(spark, s"$work/corpus1", s"$work/base",
       IndexConfig(docsPerShard = 256, verifySha = true))
 
-    // stream parts 2a and 2b as two separate arrivals
+    // stream parts 2a and 2b as two separate arrivals. The stream is stopped
+    // between them and restarted from its checkpoint: a running stream lists
+    // the watch dir continuously and can observe a half-written parquet
+    // append as two arrivals (a test race, not an engine property — the
+    // composite searcher is correct for ANY batch split); the stop/start
+    // also exercises checkpoint resume, whose batch numbering must continue.
     val watch = s"$work/arrivals"
     val deltas = s"$work/deltas"
     writePart(col("__id") >= 1400 && col("__id") < 1700, watch)
-    val q = IncrementalIndexer.start(spark, watch, s"$work/base", deltas,
+    val q1 = IncrementalIndexer.start(spark, watch, s"$work/base", deltas,
       IndexConfig(docsPerShard = 256))
-    try {
-      q.processAllAvailable()
-      writePart(col("__id") >= 1700, watch, mode = "append")
-      q.processAllAvailable()
-    } finally q.stop()
+    try q1.processAllAvailable() finally q1.stop()
+    writePart(col("__id") >= 1700, watch, mode = "append")
+    val q2 = IncrementalIndexer.start(spark, watch, s"$work/base", deltas,
+      IndexConfig(docsPerShard = 256))
+    try q2.processAllAvailable() finally q2.stop()
     (s"$work/base", IncrementalIndexer.deltaDirs(deltas), full.drop("__id"))
   }
 
