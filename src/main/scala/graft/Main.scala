@@ -83,7 +83,8 @@ object Main {
       case "ingest" =>
         val spark = session("psispark-ingest")
         val cfg = IndexConfig(
-          docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt)
+          docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
+          positions = opts.getOrElse("positions", "false").toBoolean)
         val sq = graft.streaming.IncrementalIndexer.start(
           spark, opts("watch"), opts("base"), opts("deltas"), cfg)
         sq.processAllAvailable()

@@ -18,8 +18,9 @@ import graft._
   *   shards, bounding every (term, shard) posting run — the same job the
   *   reference's bucket-count negotiation does
   *   (`NegotiateBucketNum`, psi/utils/bucket.cc:141-168, bucket_size 2^20).
-  * @param buildPartitions width of the wide shuffles (0 = session
-  *   spark.sql.shuffle.partitions).
+  * @param buildPartitions width of the wide shuffles (0 = negotiated from
+  *   input data volume, see IndexBuilder.negotiatePartitions; never from
+  *   core count).
   * @param verifySha enforce the per-row `sha256(content)` invariant against
   *   the corpus sidecar (input_hint; reference analog
   *   psi/utils/csv_checker.cc:104).
@@ -65,6 +66,26 @@ case class IndexMeta(numDocs: Long, totalTokens: Long, avgdl: Double,
   */
 object IndexBuilder {
 
+  /** Wide-shuffle width when the config leaves it unset (0): derived from
+    * the INPUT DATA VOLUME, never from core count — the analog of the
+    * reference's bucket-count negotiation `bucket_count = ceil(n /
+    * bucket_size)` (psi/utils/bucket.cc:141-168). ~64 MB of on-disk corpus
+    * parquet per partition keeps each reduce task's sort + encode working
+    * set bounded regardless of cluster size; the session's
+    * spark.sql.shuffle.partitions acts as the floor so tiny inputs still
+    * use every executor.
+    */
+  private def negotiatePartitions(spark: SparkSession, corpusDir: String): Int = {
+    val floor = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val p = try {
+      val path = new org.apache.hadoop.fs.Path(s"$corpusDir/files.parquet")
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      val bytes = fs.getContentSummary(path).getLength
+      math.ceil(bytes / (64L << 20).toDouble).toInt
+    } catch { case _: Exception => 0 }
+    math.max(floor, p)
+  }
+
   def build(spark: SparkSession, corpusDir: String, indexDir: String,
             cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
@@ -72,7 +93,7 @@ object IndexBuilder {
       "positional indexing is built by buildFast (IndexConfig(positions = true))")
     Files.createDirectories(Paths.get(indexDir))
     val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+            else negotiatePartitions(spark, corpusDir)
     val fp = cfg.fingerprint
     val stages = new StageTracker(indexDir, fp, cfg.stopAfterStage)
 
@@ -430,23 +451,30 @@ object IndexBuilder {
     }
     Files.createDirectories(Paths.get(indexDir))
     val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
-            else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+            else negotiatePartitions(spark, corpusDir)
     val files = spark.read.parquet(s"$corpusDir/files.parquet")
     val keyCols = Seq("repo", "path", "commit")
 
-    // sha256 invariant: verified in the same pass that feeds the sort (the
-    // filter keeps assert_true in the plan; success returns NULL)
-    val verified = if (cfg.verifySha) {
-      files.withColumn("sha256", sha2(col("content"), 256))
+    // sha256 invariant, verified by a KEYS+HASH join — not by joining the
+    // content rows themselves: the reference sidecar check moves ~100 B/row
+    // through the exchange instead of the full content (~KBs/row), so the
+    // content crosses exactly ONE exchange total (the docId range sort
+    // below). The extra content scan is narrow + parallel; a violation
+    // fails the build before anything is written.
+    if (cfg.verifySha) {
+      val mismatches = files
+        .select(col("repo"), col("path"), col("commit"),
+          sha2(col("content"), 256).as("got_sha"))
         .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols)
-        .where(assert_true(col("sha256") === col("ref_sha256"),
-          lit("row fails the sha256(content) invariant")).isNull)
-        .drop("ref_sha256")
-    } else files.withColumn("sha256", sha2(col("content"), 256))
+        .filter(col("got_sha") =!= col("ref_sha256"))
+        .count()
+      require(mismatches == 0,
+        s"$mismatches rows fail the sha256(content) invariant")
+    }
 
     // ONE global range sort of the full rows defines the docId order; docIds
     // are partition offsets + local position (no window, no join-back)
-    val fullSorted = verified
+    val fullSorted = files.withColumn("sha256", sha2(col("content"), 256))
       .repartitionByRange(P, col("repo"), col("path"), col("commit"))
       .sortWithinPartitions("repo", "path", "commit")
       .select("repo", "path", "commit", "lang", "sha256", "content")

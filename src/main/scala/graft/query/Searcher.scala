@@ -170,15 +170,17 @@ class Searcher(spark: SparkSession, indexDir: String,
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (seqB, termsB) = (tokenSeq, terms)
-    val accT = shardsTouched
+    val (accT, accS) = (shardsTouched, candidatesScored)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val segsByTerm = segIt.toArray.groupBy(_.term)
         if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
-          Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
-            seqB, termsB, idfByTerm, k1, b, avgdl, k)
+          val out = Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
+            seqB, termsB, idfByTerm, k1, b, avgdl, k).toArray
+          accS.add(out.length)
+          out.iterator
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)

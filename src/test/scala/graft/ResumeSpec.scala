@@ -112,5 +112,9 @@ class ResumeSpec extends AnyFunSuite {
       IndexBuilder.build(spark, dir, s"$dir/idx", IndexConfig())
     }
     assert(ex.getMessage.contains("sha256"))
+    val exFast = intercept[IllegalArgumentException] {
+      IndexBuilder.buildFast(spark, dir, s"$dir/idx_fast", IndexConfig())
+    }
+    assert(exFast.getMessage.contains("sha256"))
   }
 }
