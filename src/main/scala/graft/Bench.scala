@@ -92,6 +92,12 @@ object Bench {
     val lowCpus = math.max(2, cpus / 4)
     val BenchDocs = benchDocs(cpus)
     val work = mkWorkDir()
+    try runBench(work, sfDir, cpus, lowCpus, BenchDocs)
+    finally deleteRecursively(work) // tmpfs (RAM)-backed — free it even on failure
+  }
+
+  private def runBench(work: String, sfDir: String, cpus: Int, lowCpus: Int,
+                       BenchDocs: Long): Unit = {
     val corpusDir = s"$work/corpus"
     val buildParts = 64
 
@@ -221,6 +227,5 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","index_build":$idx,"scaling":$scaling}""")
     spark.stop()
-    deleteRecursively(work) // tmpfs-backed — free the RAM
   }
 }

@@ -61,6 +61,9 @@ object Main {
       case "build" =>
         val spark = session("psispark-build")
         val positional = opts.getOrElse("positions", "false").toBoolean
+        require(!(positional && opts.contains("stopAfter")),
+          "--stopAfter is a staged-build feature; the positional build is " +
+            "single-pass (buildFast) and has no stage checkpoints")
         val cfg = IndexConfig(
           docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
           stopAfterStage = opts.getOrElse("stopAfter", ""),

@@ -205,6 +205,37 @@ object Codec {
     off
   }
 
+  /** Assemble one compressed posting segment from docId-ascending parallel
+    * arrays (docIds, tfs, per-doc dlens) — the single definition of segment
+    * encoding shared by the fast build, the incremental indexer, and
+    * compaction, so the artifact format cannot silently diverge.
+    */
+  def makeSeg(term: String, shard: Int, da: Array[Long], fa: Array[Int],
+              la: Array[Int], k1: Double, b: Double,
+              avgdl: Double): graft.PostingSeg = {
+    val (firsts, maxes) = blockMeta(da, fa, la, k1, b, avgdl)
+    graft.PostingSeg(term, shard, da.length, sumOf(fa),
+      encodeDeltas(da), encodeInts(fa), firsts, maxes)
+  }
+
+  /** Positional variant: `posBytes` is the already-encoded concatenation of
+    * per-doc position lists in the same docId order (see PostingSegP).
+    */
+  def makeSegP(term: String, shard: Int, da: Array[Long], fa: Array[Int],
+               la: Array[Int], k1: Double, b: Double, avgdl: Double,
+               posBytes: Array[Byte]): graft.PostingSegP = {
+    val (firsts, maxes) = blockMeta(da, fa, la, k1, b, avgdl)
+    graft.PostingSegP(term, shard, da.length, sumOf(fa),
+      encodeDeltas(da), encodeInts(fa), firsts, maxes, posBytes)
+  }
+
+  @inline private def sumOf(fa: Array[Int]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < fa.length) { s += fa(i); i += 1 }
+    s
+  }
+
   /** Postings per block for block-max metadata. */
   val BlockSize: Int = 128
 

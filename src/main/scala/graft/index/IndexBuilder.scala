@@ -82,7 +82,15 @@ object IndexBuilder {
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
       val bytes = fs.getContentSummary(path).getLength
       math.ceil(bytes / (64L << 20).toDouble).toInt
-    } catch { case _: Exception => 0 }
+    } catch {
+      case e: Exception =>
+        // fall back to the session floor, but say so — a silently-small
+        // partition count on a big input means giant reduce tasks
+        System.err.println(s"[psispark] WARN partition negotiation failed for " +
+          s"$corpusDir (${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          s"falling back to spark.sql.shuffle.partitions = $floor")
+        0
+    }
     math.max(floor, p)
   }
 
@@ -241,11 +249,7 @@ object IndexBuilder {
                 rows += 1
               }
               val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, ad)
-              var sumTf = 0L; var si = 0
-              while (si < fa.length) { sumTf += fa(si); si += 1 }
-              val seg = PostingSeg(term, shard, da.length, sumTf,
-                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+              val seg = Codec.makeSeg(term, shard, da, fa, la, k1, b, ad)
               postings += da.length
               bytes += seg.docBytes.length + seg.tfBytes.length
               digest.update(term.getBytes(StandardCharsets.UTF_8))
@@ -350,11 +354,7 @@ object IndexBuilder {
             segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
               val tl = graft.query.Searcher.decodeTermList(term, ss, 0.0)
               val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
-              val (firsts, maxes) = Codec.blockMeta(tl.docs, tl.tfs, dls, k1, b, avgdl)
-              var sumTf = 0L; var i = 0
-              while (i < tl.tfs.length) { sumTf += tl.tfs(i); i += 1 }
-              PostingSeg(term, shard, tl.docs.length, sumTf,
-                Codec.encodeDeltas(tl.docs), Codec.encodeInts(tl.tfs), firsts, maxes)
+              Codec.makeSeg(term, shard, tl.docs, tl.tfs, dls, k1, b, avgdl)
             }
           }
         }
@@ -392,11 +392,7 @@ object IndexBuilder {
                 out
               }
               val dls = da.map(d => lens.lens((d - lens.firstDocId).toInt))
-              val (firsts, maxes) = Codec.blockMeta(da, fa, dls, k1, b, avgdl)
-              var sumTf = 0L; i = 0
-              while (i < fa.length) { sumTf += fa(i); i += 1 }
-              PostingSegP(term, shard, da.length, sumTf,
-                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes, pb)
+              Codec.makeSegP(term, shard, da, fa, dls, k1, b, avgdl, pb)
             }
           }
         }
@@ -429,11 +425,13 @@ object IndexBuilder {
   * reference's sorted temp + KeyInfo cache, table_utils.cc:283-297).
   *
   * Data-movement budget (the thing that decides 100 TB behavior):
-  *   - content moves through exactly TWO exchanges: the sha-verify join and
-  *     the global key sort that defines docIds
-  *   - token-level rows move through exactly TWO exchanges: the (term,
-  *     docId) tf aggregation (map-side partial) and the (term, shard)
-  *     range partition that is also the final published sort order
+  *   - content moves through exactly ONE exchange: the global key range
+  *     sort that defines docIds (the sha-verify join moves only keys+hash,
+  *     ~100 B/row, in a separate narrow pass)
+  *   - token-level rows are created map-side (a document lives in one
+  *     partition, so per-doc tf needs no exchange) and cross exactly ONE
+  *     exchange: the hash repartition by (term, shard), each output file
+  *     then sorted (term, shard, docId) — the published query layout
   *   - dlen rides WITH each posting row (computed at tokenize time), so
   *     there is no doclen join; the dictionary is derived from the
   *     compressed segments, so there is no second tokenize pass
@@ -579,11 +577,7 @@ object IndexBuilder {
                 docs += d; tfs += f; dls += dl
               }
               val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-              var sumTf = 0L; var si = 0
-              while (si < fa.length) { sumTf += fa(si); si += 1 }
-              PostingSeg(term, shard, da.length, sumTf,
-                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+              Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
             }
           }
         }
@@ -638,11 +632,7 @@ object IndexBuilder {
                 docs += d; tfs += f; dls += dl; poss += ps
               }
               val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-              val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-              var sumTf = 0L; var si = 0
-              while (si < fa.length) { sumTf += fa(si); si += 1 }
-              PostingSegP(term, shard, da.length, sumTf,
-                Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes,
+              Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
                 Codec.encodePositions(poss.result()))
             }
           }

@@ -68,9 +68,18 @@ object Tokenize {
     out.result()
   }
 
-  /** The regex definition of record (and the non-ASCII fallback). */
+  private val CompiledToken = java.util.regex.Pattern.compile(TokenPattern)
+
+  /** The regex definition of record (and the non-ASCII fallback).
+    * Deliberately the platform-default `String.toLowerCase()` — Spark's own
+    * `lower()` non-ASCII path is `UTF8String.toLowerCaseSlow` =
+    * `toString().toLowerCase()` with the default locale (verified against
+    * the spark-unsafe 4.1.2 bytecode), and the twin contract is to match
+    * `termsCol` EXACTLY on whatever JVM both run on, not to match an
+    * abstract root locale Spark itself doesn't use.
+    */
   def tokenizeRegex(s: String): Array[String] = {
-    val m = java.util.regex.Pattern.compile(TokenPattern).matcher(s.toLowerCase)
+    val m = CompiledToken.matcher(s.toLowerCase)
     val out = Array.newBuilder[String]
     while (m.find()) out += m.group()
     out.result()

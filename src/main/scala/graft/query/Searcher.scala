@@ -52,6 +52,15 @@ class Searcher(spark: SparkSession, indexDir: String,
   // no deltas (avgdl unchanged)
   private val usePruning = deltaDirs.isEmpty
 
+  // base and deltas must agree on positional-ness: a mixed-schema union read
+  // would either deserialize null posBytes (executor NPE in decodePositions)
+  // or mis-infer the schema, depending on which files win inference
+  if (deltaDirs.nonEmpty) {
+    val posByDir = allDirs.map(d =>
+      d -> spark.read.parquet(s"$d/postings.parquet").columns.contains("posBytes"))
+    require(posByDir.map(_._2).distinct.size == 1,
+      s"base and delta indexes disagree on positional-ness: $posByDir")
+  }
   private val postings =
     spark.read.parquet(allDirs.map(d => s"$d/postings.parquet"): _*)
   private val dlens = spark.read.parquet(allDirs.map(d => s"$d/dlens.parquet"): _*)

@@ -103,11 +103,7 @@ object IncrementalIndexer {
           val da = rows.map(_._2)
           val fa = rows.map(_._5)
           val la = rows.map(_._4)
-          val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-          var sumTf = 0L; var i = 0
-          while (i < fa.length) { sumTf += fa(i); i += 1 }
-          PostingSeg(term, shard, da.length, sumTf,
-            Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes)
+          Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
         }
         .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
     } else {
@@ -129,11 +125,7 @@ object IncrementalIndexer {
           val ps = rows.map(_._5)
           val fa = ps.map(_.length)
           val la = rows.map(_._4)
-          val (firsts, maxes) = Codec.blockMeta(da, fa, la, k1, b, avgdl)
-          var sumTf = 0L; var i = 0
-          while (i < fa.length) { sumTf += fa(i); i += 1 }
-          PostingSegP(term, shard, da.length, sumTf,
-            Codec.encodeDeltas(da), Codec.encodeInts(fa), firsts, maxes,
+          Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
             Codec.encodePositions(ps))
         }
         .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
