@@ -15,7 +15,7 @@ import graft.query.Searcher
   *   build  --corpus DIR --index DIR [--docsPerShard N] [--stopAfter STAGE]
   *          [--positions true]  (positional index for phrase queries)
   *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
-  *          [--deltas D1,D2] [--oracle CORPUS_DIR]
+  *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
   *          (drain-available-then-stop incremental delta indexing)
   */
@@ -115,10 +115,15 @@ object Main {
         val k = opts.getOrElse("k", "10").toInt
         val orMode = opts.getOrElse("or", "false").toBoolean
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
+        val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val t0 = System.nanoTime()
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (orMode) searcher.searchOr(q, k)
-                    else searcher.search(q, k)).collect()
+                    else whereExpr match {
+                      case Some(w) => searcher.searchWhere(q, k,
+                        org.apache.spark.sql.functions.expr(w))
+                      case None => searcher.search(q, k)
+                    }).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
           s"(scored=${searcher.candidatesScored.value} pruned=${searcher.candidatesPruned.value} " +

@@ -73,6 +73,10 @@ class IndexHandle(spark: SparkSession, val indexDir: String) {
   /** Exact-phrase top-k (requires IndexConfig(positions = true) at build). */
   def queryPhrase(q: String, k: Int) = searcher.searchPhrase(q, k)
 
+  /** Conjunctive top-k restricted by a docs-table metadata predicate. */
+  def queryWhere(q: String, k: Int, predicate: org.apache.spark.sql.Column) =
+    searcher.searchWhere(q, k, predicate)
+
   /** Many queries in one Spark job → (query_name, docId, score, rank). */
   def queryBatch(queries: Seq[(String, String, Int)],
                  conjunctive: Boolean = true): DataFrame =

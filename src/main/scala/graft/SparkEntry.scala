@@ -292,6 +292,15 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_filtered" -> ((s, dir) => {
+      // metadata-filtered BM25: the filter docId list rides the galloping
+      // intersection as a zero-idf list (Searcher.searchWhere)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchWhere(Bm25Query, 10, col("lang") === "scala")
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_phrase" -> ((s, dir) => {
       // exact-phrase top-k over the positional index (hot bigram)
       CorpusFixture.ensure(s)
@@ -481,7 +490,7 @@ object SparkEntry {
   private def corpusCte: String =
     s"""docs AS (
        |  SELECT row_number() OVER (ORDER BY repo, path, "commit") - 1 AS docid,
-       |         repo, path, "commit", content
+       |         repo, path, "commit", lang, content
        |  FROM read_parquet('$FilesGlob')),
        |toks AS (
        |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok
@@ -662,6 +671,30 @@ object SparkEntry {
          |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
          |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    "q_bm25_filtered" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT agg.docid AS docId, round($scoreSum, 9) AS score
+         |FROM agg JOIN docs d ON agg.docid = d.docid AND d.lang = 'scala'
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
 

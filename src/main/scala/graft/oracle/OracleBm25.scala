@@ -35,6 +35,16 @@ object OracleBm25 {
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
     topKImpl(files, query, k, k1, b, conjunctive = false)
 
+  /** Top-k AND query restricted to docs satisfying a metadata predicate. */
+  def topKWhere(files: DataFrame, query: String, k: Int,
+                predicate: org.apache.spark.sql.Column,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    topKImpl(files, query, k, k1, b, conjunctive = true,
+      restrictTo = Some(withId.filter(predicate).select("docId")))
+  }
+
   /** Top-k for an exact-phrase query: ordered-adjacency via posexplode +
     * self-joins on token ordinals (plain DataFrame ops), then the standard
     * conjunctive BM25 over the phrase's distinct terms restricted to

@@ -152,6 +152,72 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Conjunctive top-k BM25 restricted to documents satisfying a metadata
+    * predicate over the docs table (`lang`, `repo`, `path`, …). The filter's
+    * docId set rides the SAME galloping intersection as the query terms:
+    * per shard it becomes one more delta-compressed sorted list, with zero
+    * idf so it contributes no score mass (x + 0.0 ≡ x for finite doubles —
+    * scores stay bit-identical to the unfiltered formula on the surviving
+    * docs, proven against the oracle). Because the shortest list leads the
+    * traversal, a SELECTIVE filter prunes work instead of adding a
+    * post-hoc scan.
+    */
+  def searchWhere(query: String, k: Int,
+                  predicate: org.apache.spark.sql.Column): Dataset[Hit] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
+    val idfByTerm: Map[String, Double] =
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap +
+        (Searcher.FilterTerm -> 0.0)
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+
+    // the filter list: a metadata-only scan of the docs table, packed into
+    // ordinary posting segments (tf = 1, admissible block bound = 0)
+    val dps = meta.docsPerShard
+    val filterSegs = docs.filter(predicate)
+      .select($"docId", (($"docId" / dps).cast("int")).as("shard"))
+      .filter($"shard".isin(candShards.toSeq: _*))
+      .as[(Long, Int)]
+      .groupByKey(_._2)
+      .mapGroups { (shard, it) =>
+        val ids = it.map(_._1).toArray.sorted
+        val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
+        val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
+        PostingSeg(Searcher.FilterTerm, shard, ids.length, ids.length,
+          Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
+          firsts, new Array[Float](nBlocks))
+      }
+
+    val segsC = postings.filter($"term".isin(terms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+      .unionByName(filterSegs, allowMissingColumns = true)
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    // FilterTerm (leading space) sorts before every real token, preserving the
+    // ascending-term accumulation order (0.0 is added first — the identity)
+    val termsAll: Seq[String] = (Searcher.FilterTerm +: terms.toSeq)
+    val pruning = usePruning
+    val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val segsByTerm = segIt.toArray.groupBy(_.term)
+        // the filter list must be present too (a shard with no matching
+        // docs has no filter segment → early exit, AND semantics)
+        if (segsByTerm.size < termsAll.length || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShard(segsByTerm, Searcher.mergeLens(lenIt), termsAll,
+            idfByTerm, k1, b, avgdl, k, accS, accP, pruning)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Exact-phrase top-k BM25 — requires a positional index
     * (`IndexConfig(positions = true)`). Candidates must contain ALL phrase
     * terms (the same galloping conjunctive intersection as `search`), then
@@ -318,6 +384,13 @@ class Searcher(spark: SparkSession, indexDir: String,
 }
 
 object Searcher {
+
+  /** Synthetic "term" carrying a metadata filter's docId list through the
+    * intersection kernel (searchWhere). The leading space (0x20) sorts
+    * before every token character ([a-z0-9_]), so ascending-term score
+    * accumulation is unchanged, and the tokenizer can never produce it.
+    */
+  val FilterTerm: String = " where"
 
   /** Cached per-term metadata: global doc frequency and the sorted shard set
     * holding the term (df == 0 ⇔ term absent from the index).

@@ -40,6 +40,32 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered search (searchWhere) is rank-identical to the restricted oracle") {
+    import org.apache.spark.sql.functions.col
+    for ((q, pred, predName) <- Seq(
+      ("import val", col("lang") === "scala", "lang=scala"),
+      ("import def", col("lang") === "py", "lang=py"),
+      ("util_3 import", col("repo") < "repo-0015", "repo<15"))) {
+      val g = got(searcher.searchWhere(q, 10, pred))
+      val w = OracleBm25.topKWhere(files, q, 10, pred).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(g.toSeq == w.toSeq, s"query '$q' where $predName")
+      assert(g.nonEmpty, s"'$q' where $predName unexpectedly empty")
+    }
+  }
+
+  test("filtered search with an impossible predicate is empty; scores match unfiltered on surviving docs") {
+    import org.apache.spark.sql.functions.col
+    assert(searcher.searchWhere("import val", 5, col("lang") === "zz").isEmpty)
+    // bit-exact score invariance: the zero-idf filter list must not perturb
+    // any surviving doc's score
+    val unfiltered = got(searcher.search("import val", 10000)).toMap
+    got(searcher.searchWhere("import val", 200, col("lang") === "go"))
+      .foreach { case (d, s) =>
+        assert(unfiltered(d) == s, s"doc $d score changed under filter")
+      }
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "import val def class return"
     val all = OracleBm25.topK(files, q, Int.MaxValue - 1)
