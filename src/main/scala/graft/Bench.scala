@@ -186,6 +186,19 @@ object Bench {
     // whole query set as ONE Spark job (the throughput mode)
     qsecs("bm25_batch_qset") = timed(searcher.searchBatch(qset).count())._2
 
+    // metadata-filtered search (zero-idf filter list in the intersection)
+    {
+      import org.apache.spark.sql.functions.col
+      val preds = Seq(col("lang") === "scala", col("lang") === "py",
+        col("repo") < "repo-0010", col("lang") === "go",
+        col("repo") >= "repo-0030")
+      preds.foreach(p => searcher.searchWhere("import val", 10, p).collect())
+      val lat = preds.map(p =>
+        timed(searcher.searchWhere("import val", 10, p).collect())._2).sorted
+      qsecs("bm25_filtered_p50") = pct(lat, 0.50)
+      qsecs("bm25_filtered_p95") = pct(lat, 0.95)
+    }
+
     // positional index: build-time overhead of storing positions, then
     // exact-phrase latency over it
     val (_, tPos) = timed {

@@ -412,6 +412,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_fingerprint_winnow" -> ((s, dir) => {
+      // winnowed rolling-hash fingerprints (MOSS scheme); hash values are
+      // engine-specific → rows-only gate, guarantees proven in OpsSpec
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos", "fp")
+    }),
+
+    "q_overlap_pairs" -> ((s, dir) => {
+      // partial-overlap candidate pairs from shared winnowed fingerprints
+      TextAnalysis.overlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        minShared = 1)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ----------------------------------------------------------- multimodal
     "q_multimodal_stub" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"),

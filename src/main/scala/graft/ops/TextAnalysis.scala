@@ -99,4 +99,97 @@ object TextAnalysis {
       sha2(norm, 256).as("fingerprint_sha256"),
       xxhash64(norm).as("fingerprint_64"))
   }
+
+  /** Winnowed ROLLING-hash fingerprints (the MOSS scheme, Schleimer/Wilkerson/
+    * Aiken 2003): Karp–Rabin hashes of every k-char gram of the normalized
+    * text, then the minimum of each w-hash window (rightmost-min tiebreak),
+    * deduplicated per doc. Guarantee: two documents sharing any substring of
+    * length ≥ k + w - 1 share at least one fingerprint — partial-overlap
+    * detection, which whole-document hashing cannot do.
+    * Output: (id, fp: long, pos: int) — pos is the gram's character offset
+    * in the normalized text.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 25, w: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnow(normalize(text), k, w).map { case (fp, pos) => (id, fp, pos) }
+      }
+      .toDF("id", "fp", "pos")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Candidate partial-overlap pairs: docs sharing ≥ minShared winnowed
+    * fingerprints, with the shared count (join on fp, hot-fp cap bounds the
+    * quadratic blowup on boilerplate — the same skew discipline as the
+    * shingle-df cap in Dedup.ngramJaccardPairs).
+    */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 25, w: Int = 16, minShared: Int = 2,
+                   maxFpDf: Int = 200): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), col("fp")).distinct()
+    val rare = fps.groupBy("fp").count().filter(col("count") <= maxFpDf)
+      .select("fp")
+    val fpr = fps.join(rare, "fp")
+    val a = fpr.select(col("fp"), col("doc").as("doc_a"))
+    val b = fpr.select(col("fp"), col("doc").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Whitespace-collapsed lowercase normalization shared by the fingerprint
+    * family.
+    */
+  def normalize(text: String): String =
+    text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** Karp–Rabin rolling hash of every k-gram + robust winnowing: one pass,
+    * O(n) — the hash of gram i+1 derives from gram i (subtract the outgoing
+    * char's highest-power term, multiply by the base, add the incoming
+    * char). 64-bit wraparound arithmetic; rightmost minimum per window so
+    * runs of equal hashes fingerprint once.
+    */
+  private[ops] def winnow(s: String, k: Int, w: Int): Seq[(Long, Int)] = {
+    val n = s.length
+    if (n < k) return Nil
+    val B = 1000003L
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    if (nGrams <= w) {
+      // one window: its minimum (rightmost)
+      var best = 0
+      i = 1
+      while (i < nGrams) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      return Seq((hs(best), best))
+    }
+    val out = Seq.newBuilder[(Long, Int)]
+    var lastPos = -1
+    var wStart = 0
+    while (wStart + w <= nGrams) {
+      var best = wStart
+      i = wStart + 1
+      while (i < wStart + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      if (best != lastPos) { out += ((hs(best), best)); lastPos = best }
+      wStart += 1
+    }
+    out.result()
+  }
 }

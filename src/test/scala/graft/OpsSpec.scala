@@ -131,6 +131,57 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
   }
 
+  test("winnowed rolling-hash fingerprints: shared-substring guarantee") {
+    val (k, w) = (25, 16)
+    val rng = new scala.util.Random(11)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(200) // >= k + w - 1 → must share a fingerprint
+    val d = Seq(
+      (1L, rand(300) + " " + shared + " " + rand(300)),
+      (2L, rand(500) + " " + shared),
+      (3L, rand(800))).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "doc_id", "text", k, w)
+      .as[(Long, Long, Int)].collect()
+    val byDoc = fps.groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "docs sharing a 200-char substring must share a winnowed fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty ||
+      (byDoc(1L) intersect byDoc(3L)).size < 2,
+      "unrelated random docs should share (almost) nothing")
+    // positions are real: recompute each gram's Karp-Rabin hash directly
+    val norm1 = TextAnalysis.normalize(
+      d.filter($"doc_id" === 1L).head.getString(1))
+    fps.filter(_._1 == 1L).take(20).foreach { case (_, fp, pos) =>
+      var h = 0L
+      norm1.substring(pos, pos + k).foreach(c => h = h * 1000003L + c)
+      assert(h == fp, s"fingerprint at pos $pos is not the gram's hash")
+    }
+  }
+
+  test("winnowed fingerprints are whitespace-normalization invariant") {
+    val d = Seq((1L, "alpha beta   gamma\n\ndelta epsilon zeta eta theta iota kappa"),
+                (2L, "alpha  beta gamma delta\tepsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(d, "doc_id", "text", k = 10, w = 4)
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .map { case (id, v) => id -> v.map(r => (r._2, r._3)).toSet }
+    assert(fps(1L) == fps(2L))
+  }
+
+  test("overlapPairs surfaces the planted partial overlap only") {
+    val rng = new scala.util.Random(13)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val shared = rand(300)
+    val d = Seq(
+      (1L, rand(400) + shared),
+      (2L, shared + rand(400)),
+      (3L, rand(700)), (4L, rand(700))).toDF("doc_id", "text")
+    val pairs = TextAnalysis.overlapPairs(d, "doc_id", "text",
+      minShared = 2, maxFpDf = 100)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("multimodal stub plumbing: schema, determinism, batch iteration") {
     val d = Seq((1L, "payload-a", "s"), (2L, "payload-bb", "s"))
       .toDF("doc_id", "text", "source")
