@@ -35,6 +35,54 @@ object OracleBm25 {
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
     topKImpl(files, query, k, k1, b, conjunctive = false)
 
+  /** Window-free oracle for LARGE corpora, where the single-partition
+    * row_number window above is infeasible: the caller supplies docIds
+    * (e.g. the engine's published docs table joined back to the raw corpus
+    * on the composite key — the mapping itself is independently verified
+    * against SQL row_number at fixture scale). Same formula, same
+    * determinism contract, bit-identical scores; query-term tf is filtered
+    * BEFORE aggregation and dlen computed per-row, so the oracle itself
+    * scales.
+    */
+  def topKScalable(filesWithId: DataFrame, query: String, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = filesWithId.sparkSession
+    import spark.implicits._
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (terms.isEmpty) return empty
+    val dlen = filesWithId.select($"docId",
+      size(Tokenize.termsCol($"content")).cast("int").as("dlen"))
+    val tf = filesWithId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .filter($"term".isin(terms: _*))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val numDocs = filesWithId.count()
+    val totalTokens = dlen.agg(sum($"dlen".cast("long"))).as[Long].head()
+    val avgdl = totalTokens.toDouble / numDocs
+    val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    if (terms.exists(t => !dfByTerm.contains(t))) return empty
+    val idfDf = broadcast(
+      dfByTerm.keys.toSeq.sorted.map(t => (t, idf(numDocs, dfByTerm(t))))
+        .toDF("term", "idf"))
+    val scored = tf
+      .join(dlen, "docId")
+      .join(idfDf, "term")
+      .withColumn("s",
+        ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
+          ($"tf".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
+    scored.groupBy("docId")
+      .agg(count(lit(1)).as("nTerms"),
+        aggregate(sort_array(collect_list(struct($"term", $"s"))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .filter($"nTerms" === terms.length)
+      .select("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   /** Top-k AND query restricted to docs satisfying a metadata predicate. */
   def topKWhere(files: DataFrame, query: String, k: Int,
                 predicate: org.apache.spark.sql.Column,

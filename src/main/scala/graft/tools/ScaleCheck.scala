@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.oracle.OracleBm25
+import graft.query.Searcher
+
+/** Rank-identity check at LARGE corpus scale, where the window-based test
+  * oracle is infeasible: compares the engine's top-k against the window-free
+  * scalable oracle (docIds from the engine's published docs table joined to
+  * the raw corpus on the composite key).
+  * Usage: runMain graft.tools.ScaleCheck <corpusDir> <indexDir> <cpus> <k> <query...>
+  * Exits 3 on mismatch.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val (corpusDir, indexDir, cpus, k) = (args(0), args(1), args(2), args(3).toInt)
+    val queries = args.drop(4).toSeq
+    require(queries.nonEmpty, "give at least one query")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val searcher = new Searcher(spark, indexDir)
+    val withId = spark.read.parquet(s"$corpusDir/files.parquet")
+      .join(spark.read.parquet(s"$indexDir/docs.parquet")
+        .select("docId", "repo", "path", "commit"),
+        Seq("repo", "path", "commit"))
+      .select("docId", "content")
+    var bad = false
+    for (q <- queries) {
+      val t0 = System.nanoTime()
+      val got = searcher.search(q, k).collect().map(h => (h.docId, h.score))
+      val tq = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val want = OracleBm25.topKScalable(withId, q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val to = (System.nanoTime() - t1) / 1e9
+      val ok = got.sameElements(want)
+      println(f"[scalecheck] '$q' k=$k engine=$tq%.2fs oracle=$to%.2fs -> " +
+        (if (ok) s"MATCH (${got.length} hits, rank-identical)" else "MISMATCH"))
+      if (!ok) {
+        println(s"  got  ${got.toSeq}\n  want ${want.toSeq}")
+        bad = true
+      }
+    }
+    spark.stop()
+    if (bad) sys.exit(3)
+  }
+}

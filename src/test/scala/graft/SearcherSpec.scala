@@ -66,6 +66,21 @@ class SearcherSpec extends AnyFunSuite {
       }
   }
 
+  test("scalable (window-free) oracle agrees with the window oracle") {
+    val withId = files.join(
+      spark.read.parquet(s"$indexDir/docs.parquet")
+        .select("docId", "repo", "path", "commit"),
+      Seq("repo", "path", "commit"))
+      .select("docId", "content")
+    for (q <- Seq("import val", "util_3 import def", "zzqx_nothing import")) {
+      val a = OracleBm25.topK(files, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val b = OracleBm25.topKScalable(withId, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.toSeq == b.toSeq, s"oracles disagree on '$q'")
+    }
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "import val def class return"
     val all = OracleBm25.topK(files, q, Int.MaxValue - 1)
