@@ -144,15 +144,33 @@ object Bench {
     }
     // The sandbox host is noisy (identical runs vary up to 3x minute to
     // minute, see BASELINE.md): measure each level SPARK_GRAFT_SCALE_REPS
-    // times (default 2), interleaved across levels so noise windows spread
-    // evenly, and take the per-level minimum — the standard noise-robust
-    // wall-clock estimator.
+    // times minimum (default 2), interleaved across levels so noise windows
+    // spread evenly, and take the per-level minimum — the standard
+    // noise-robust wall-clock estimator. Reps AUTO-ESCALATE (cap
+    // SPARK_GRAFT_SCALE_MAX_REPS, default 5) while the evidence is
+    // noise-suspect: per-level spread > 20%, or throughput NON-monotonic in
+    // cores (more cores measurably slower = the host stole a window — r01
+    // recorded t(8cores) > t(2cores) on a 480k-doc build, a physical
+    // impossibility for this embarrassingly-parallel job). Every raw rep is
+    // emitted in the scaling JSON so a noisy window is self-explaining.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_REPS", "5").toInt
     val levels = Seq(2, lowCpus, cpus).distinct
-    val best = scala.collection.mutable.Map[Int, Double]()
-    for (_ <- 1 to reps; n <- levels) {
-      val t = buildAt(n)
-      best(n) = math.min(best.getOrElse(n, Double.MaxValue), t)
+    val raw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
+    def runRep(): Unit = levels.foreach { n =>
+      raw(n) = raw.getOrElse(n, Vector.empty) :+ buildAt(n)
+    }
+    def best(n: Int): Double = raw(n).min
+    def spreadTooHigh: Boolean = levels.exists { n =>
+      val xs = raw(n); (xs.max - xs.min) / xs.min > 0.20
+    }
+    def nonMonotonic: Boolean =
+      levels.sliding(2).exists { case Seq(a, b) => best(b) > best(a); case _ => false }
+    (1 to reps).foreach(_ => runRep())
+    while (raw(levels.head).size < maxReps && (spreadTooHigh || nonMonotonic))
+      runRep()
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted; s((s.size - 1) / 2)
     }
     val tN2 = best(2)
     val tLow = best(lowCpus)
@@ -226,19 +244,34 @@ object Bench {
 
     val total = qsecs.values.filter(_ >= 0).sum
     val qs = qsecs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // median-based efficiencies ride along so a lucky/unlucky min is visible
+    val effMed28 = ((BenchDocs / median(raw(lowCpus))) / (BenchDocs / median(raw(2)))) / (lowCpus / 2.0)
+    val effMedHigh = ((BenchDocs / median(raw(cpus))) / (BenchDocs / median(raw(lowCpus)))) / (cpus.toDouble / lowCpus)
+    val rawJson = raw.map { case (n, xs) =>
+      s""""$n":${xs.map(x => f"$x%.2f").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val scaling =
       f"""{"cores2Sec":$tN2%.2f,"lowCpus":$lowCpus,"highCpus":$cpus,""" +
         f""""buildSecLow":$tLow%.2f,"buildSecHigh":$tHighFork%.2f,""" +
         f""""filesPerSec2":$thrN2%.1f,"filesPerSecLow":$thrLow%.1f,""" +
         f""""filesPerSecHigh":$thrHigh%.1f,""" +
-        f""""eff_2_to_$lowCpus":$eff28%.3f,"eff_${lowCpus}_to_$cpus":$efficiency%.3f}"""
+        f""""eff_2_to_$lowCpus":$eff28%.3f,"eff_${lowCpus}_to_$cpus":$efficiency%.3f,""" +
+        f""""eff_median_2_to_$lowCpus":$effMed28%.3f,""" +
+        f""""eff_median_${lowCpus}_to_$cpus":$effMedHigh%.3f,""" +
+        s""""repsPerLevel":${raw(levels.head).size},"rawSecByCores":$rawJson,""" +
+        s""""estimator":"per-level min over interleaved forked-JVM reps; reps auto-escalate (cap $maxReps) on >20% spread or non-monotonic throughput"}"""
     val idx =
       f"""{"docs":${meta.numDocs},"postings":${meta.totalTokens},""" +
         f""""filesPerSec":${BenchDocs / tHigh}%.1f,"postingsPerSec":${meta.totalTokens / tHigh}%.0f,""" +
         f""""terms":${meta.numTerms},"segments":${meta.numSegments}}"""
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","index_build":$idx,"scaling":$scaling}""")
+        s""""sf":"$sfDir","index_build":$idx,"scaling":$scaling}"""
+    // the artifact of record: a bare one-line JSON file the driver can read
+    // without scraping sbt [info]-prefixed stdout (r01 BENCH parsed: null)
+    Files.write(java.nio.file.Paths.get("/root/repo/BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

@@ -134,7 +134,11 @@ object Main {
           val oracleDf =
             if (phraseMode) OracleBm25.topKPhrase(files, q, k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
-            else OracleBm25.topK(files, q, k)
+            else whereExpr match {
+              case Some(w) => OracleBm25.topKWhere(files, q, k,
+                org.apache.spark.sql.functions.expr(w))
+              case None => OracleBm25.topK(files, q, k)
+            }
           val want = oracleDf.collect()
             .map(r => (r.getLong(0), r.getDouble(1)))
           val got = hits.map(h => (h.docId, h.score))

@@ -37,8 +37,8 @@ object SparkEntry {
     // ------------------------------------------------ §2.1 scans / sinks
     "q_scan_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
-          col("l_quantity") < 10)
+        .filter(col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_quantity") < 5)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -515,7 +515,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_shipdate < TIMESTAMP '1995-01-01' AND l_quantity < 10
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_key_concat" ->

@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pre-materialize the fixed corpus+index BEFORE any gate query runs:
+    // gates (and the driver's DuckDB oracle) must only ever read a settled,
+    // atomically-published fixture (round-1 q_dict_topdf post-mortem)
+    CorpusFixture.ensure(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

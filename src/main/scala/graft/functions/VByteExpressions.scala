@@ -2,12 +2,34 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 import graft.index.Codec
+
+/** Analysis-time input-type validation shared by the graft expressions
+  * (`ExpectsInputTypes` is private[sql] in Spark 4, so the same contract is
+  * enforced through the public `checkInputDataTypes` hook): a mistyped call
+  * like `token_count(<int>)` fails analysis with a clear message instead of
+  * a ClassCastException on an executor at runtime.
+  */
+private[functions] trait GraftInputTypes { self: Expression =>
+  def expectedInputTypes: Seq[DataType]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val mismatch = children.map(_.dataType).zip(expectedInputTypes).zipWithIndex
+      .collectFirst { case ((got, want), i) if got != want => (i, got, want) }
+    mismatch match {
+      case Some((i, got, want)) => TypeCheckResult.TypeCheckFailure(
+        s"argument ${i + 1} of $prettyName requires ${want.simpleString}, " +
+          s"got ${got.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
 
 /** Native Catalyst expressions for the posting codec — a custom `Expression`
   * with `doGenCode` (not a UDF), so decoding posting segments composes with
@@ -19,8 +41,9 @@ import graft.index.Codec
   *      `vbyte_decode_ints(tfBytes, n)`    → array<int> of term frequencies
   */
 case class VByteDecodeDeltas(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftInputTypes {
   override def nullIntolerant: Boolean = true
+  override def expectedInputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vbyte_decode_deltas"
 
@@ -38,8 +61,9 @@ case class VByteDecodeDeltas(left: Expression, right: Expression)
 }
 
 case class VByteDecodeInts(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with GraftInputTypes {
   override def nullIntolerant: Boolean = true
+  override def expectedInputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "vbyte_decode_ints"
 
@@ -62,8 +86,10 @@ case class VByteDecodeInts(left: Expression, right: Expression)
   * (graft.index.Tokenize.tokenCount), so the index build's dlen column costs
   * a memory pass instead of a regex + token-array materialization.
   */
-case class TokenCount(child: Expression) extends UnaryExpression {
+case class TokenCount(child: Expression)
+    extends UnaryExpression with GraftInputTypes {
   override def nullIntolerant: Boolean = true
+  override def expectedInputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_count"
 

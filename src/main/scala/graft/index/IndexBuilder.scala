@@ -94,6 +94,34 @@ object IndexBuilder {
     math.max(floor, p)
   }
 
+  /** Per-row `sha256(content)` invariant vs the corpus sidecar (input_hint;
+    * reference analog psi/utils/csv_checker.cc:104). One LEFT join over
+    * keys+hash (~100 B/row through the exchange): a row with no sidecar
+    * entry is an UNCOVERED failure — silent partial verification is exactly
+    * the vacuous-pass mode an inner join would hide — and a covered row
+    * with a differing hash is a MISMATCH failure.
+    */
+  private def verifyShaSidecar(spark: SparkSession, files: DataFrame,
+                               corpusDir: String, keyCols: Seq[String]): Unit = {
+    val checked = files
+      .select(col("repo"), col("path"), col("commit"),
+        sha2(col("content"), 256).as("got_sha"))
+      .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols, "left")
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("ref_sha256").isNull, 1)).as("uncovered"),
+        count(when(col("ref_sha256").isNotNull &&
+          col("got_sha") =!= col("ref_sha256"), 1)).as("mismatched"))
+      .head()
+    val (total, uncovered, mismatched) =
+      (checked.getLong(0), checked.getLong(1), checked.getLong(2))
+    require(uncovered == 0,
+      s"$uncovered of $total rows have no ref_sha.parquet sidecar entry — " +
+        "sha256 coverage is incomplete, refusing to index unverified rows")
+    require(mismatched == 0,
+      s"$mismatched of $total rows fail the sha256(content) invariant")
+  }
+
   def build(spark: SparkSession, corpusDir: String, indexDir: String,
             cfg: IndexConfig = IndexConfig()): IndexMeta = {
     import spark.implicits._
@@ -114,15 +142,7 @@ object IndexBuilder {
       // duplicated-key config check (psi/interface.cc:218-220)
       val dups = files.groupBy(keyCols.map(col): _*).count().filter($"count" > 1).count()
       require(dups == 0, s"$dups duplicate (repo,path,commit) keys in corpus")
-      if (cfg.verifySha) {
-        val mismatches = files
-          .select(col("repo"), col("path"), col("commit"),
-            sha2(col("content"), 256).as("got_sha"))
-          .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols)
-          .filter($"got_sha" =!= $"ref_sha256")
-          .count()
-        require(mismatches == 0, s"$mismatches rows fail the sha256(content) invariant")
-      }
+      if (cfg.verifySha) verifyShaSidecar(spark, files, corpusDir, keyCols)
       // deterministic dense docIds: global total order of the composite key
       // via range partition + local sort, then per-partition offsets
       // (two-pass; the scalable alternative to a single-partition window —
@@ -458,17 +478,11 @@ object IndexBuilder {
     // through the exchange instead of the full content (~KBs/row), so the
     // content crosses exactly ONE exchange total (the docId range sort
     // below). The extra content scan is narrow + parallel; a violation
-    // fails the build before anything is written.
-    if (cfg.verifySha) {
-      val mismatches = files
-        .select(col("repo"), col("path"), col("commit"),
-          sha2(col("content"), 256).as("got_sha"))
-        .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols)
-        .filter(col("got_sha") =!= col("ref_sha256"))
-        .count()
-      require(mismatches == 0,
-        s"$mismatches rows fail the sha256(content) invariant")
-    }
+    // fails the build before anything is written. NOTE: the corpus is read
+    // twice (this verify pass, then the sort pass below) and is assumed
+    // immutable for the duration of the build — the same contract the
+    // reference's pre-flight CsvChecker pass makes before its protocol run.
+    if (cfg.verifySha) verifyShaSidecar(spark, files, corpusDir, keyCols)
 
     // ONE global range sort of the full rows defines the docId order; docIds
     // are partition offsets + local position (no window, no join-back)

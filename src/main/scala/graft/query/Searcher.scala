@@ -252,10 +252,8 @@ class Searcher(spark: SparkSession, indexDir: String,
         if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
-          val out = Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
-            seqB, termsB, idfByTerm, k1, b, avgdl, k).toArray
-          accS.add(out.length)
-          out.iterator
+          Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
+            seqB, termsB, idfByTerm, k1, b, avgdl, k, accS)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -500,9 +498,12 @@ object Searcher {
   def scoreShardPhrase(segsByTerm: Map[String, Array[PostingSegP]],
                        lens: ShardLens, tokenSeq: Seq[String],
                        termsSorted: Seq[String], idfByTerm: Map[String, Double],
-                       k1: Double, b: Double, avgdl: Double,
-                       k: Int): Iterator[Hit] = {
+                       k1: Double, b: Double, avgdl: Double, k: Int,
+                       accScored: LongAccumulator = null): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
+    // candidates that survive the conjunctive intersection (i.e. reach the
+    // adjacency check) — the same "scored" meaning search() reports
+    var scored = 0L
     val lists: Array[PosList] =
       termsSorted.map(t => decodePosList(t, segsByTerm(t))).toArray
     val byTerm = lists.map(l => l.term -> l).toMap
@@ -525,6 +526,7 @@ object Searcher {
         oi += 1
       }
       if (ok) {
+        scored += 1
         lead.pos = li
         // adjacency: cur ← (cur + 1) ∩ positions(token_j), all sorted asc
         val l0 = seqLists(0)
@@ -564,6 +566,7 @@ object Searcher {
       }
       li += 1
     }
+    if (accScored != null) accScored.add(scored)
     heap.iterator.toArray.iterator
   }
 
