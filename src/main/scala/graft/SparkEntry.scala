@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.index.{Codec, Tokenize}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, KvConverter, Multimodal, Similarity, TextAnalysis}
 import graft.psi.PsiJoin
 import graft.streaming.EventStream
 
@@ -174,6 +174,28 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey").as("key")),
         t(s, dir, "orders").select(col("o_custkey").as("key")),
         Seq("key"), 100)
+    }),
+
+    "q_kv_convert" -> ((s, dir) => {
+      // APSI KV converter: label splice (0x1E) + per-key row merge (0x1F)
+      // (psi/utils/csv_converter.h:31-80)
+      KvConverter.mergeLabels(
+        t(s, dir, "orders").filter(col("o_custkey") <= 200)
+          .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")),
+        "o_custkey", Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("key")
+    }),
+
+    "q_kv_roundtrip" -> ((s, dir) => {
+      // merge → extract inverse (ExtractResult, csv_converter.cc:251-256):
+      // the roundtrip must reproduce the original rows exactly
+      val src = t(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val kv = KvConverter.mergeLabels(src, "o_custkey",
+        Seq("o_orderstatus", "o_orderpriority"))
+      KvConverter.extractResult(kv, "o_custkey",
+        Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("o_custkey", "o_orderstatus", "o_orderpriority")
     }),
 
     // ------------------------------------------------- §2.6 sorts / top-k
@@ -347,16 +369,30 @@ object SparkEntry {
     }),
 
     "q_dedup_minhash_lsh" -> ((s, dir) => {
-      // no SQL oracle (xxhash64 is Spark-specific); rows-only gate +
-      // containment asserted vs exact Jaccard in DedupSpec
+      // VERIFIED output gated against the exact-Jaccard oracle: at these
+      // params (16 bands × 2 rows) every pair with J ≥ 0.5 lands in some
+      // band on this corpus family (near-dups are J ≥ 0.7, noise < 0.3 —
+      // measured at sf0.001/0.01/0.1), so LSH-candidates + exact verify ==
+      // the full exact-threshold pair set and the gate is hash-checkable;
+      // the probabilistic recall property is separately asserted in OpsSpec
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        k = 2, numPerms = 16, rowsPerBand = 4, minJaccard = 0.1)
+        k = 3, numPerms = 32, rowsPerBand = 2, minJaccard = 0.5)
         .orderBy("doc_a", "doc_b")
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc")
+    }),
+
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      // corpus×corpus embedding near-dup, the LSH scale path of
+      // q_embed_neardup (recall vs brute force asserted in OpsSpec);
+      // hyperplane codes are engine-specific → rows-only gate
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCos = 0.5, numPlanes = 8, numTables = 6)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     }),
 
     "q_embed_neardup" -> ((s, dir) => {
@@ -588,6 +624,17 @@ object SparkEntry {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
         |ORDER BY key LIMIT 100""".stripMargin,
 
+    "q_kv_convert" ->
+      """SELECT o_custkey AS key,
+        |string_agg(o_orderstatus || chr(30) || o_orderpriority, chr(31)
+        |  ORDER BY o_orderstatus || chr(30) || o_orderpriority) AS value,
+        |count(*) AS key_count
+        |FROM orders WHERE o_custkey <= 200 GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_kv_roundtrip" ->
+      """SELECT o_custkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE o_custkey <= 200 ORDER BY 1, 2, 3""".stripMargin,
+
     "q_multikey_sort" ->
       """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber FROM lineitem
         |ORDER BY 1, 2, 3, 4 LIMIT 50""".stripMargin,
@@ -631,8 +678,12 @@ object SparkEntry {
          |WHERE d.docid % 37 = 0 ORDER BY d.docid""".stripMargin,
 
     "q_dict_topdf" ->
+      // CAST(sum(...) AS BIGINT): DuckDB's sum over BIGINT widens to
+      // HUGEINT (int128), which the driver's pandas bridge reads as float64
+      // — numerically equal to Spark's int64 cf but hash-UNEQUAL. This type
+      // coercion (not a fixture race) was the r01 q_dict_topdf failure.
       s"""WITH $corpusCte
-         |SELECT tok AS term, count(*) AS df, sum(tf) AS cf FROM tf
+         |SELECT tok AS term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf
          |GROUP BY 1 ORDER BY df DESC, term LIMIT 50""".stripMargin,
 
     "q_postings_roundtrip" ->
@@ -797,6 +848,40 @@ object SparkEntry {
          |  CAST(greatest(length(text), 1) AS DOUBLE) AS upper_ratio
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    "q_lang_id" ->
+      """WITH f AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        |  FROM documents),
+        |p(ord, lang, markers) AS (VALUES
+        |  (0, 'en', ['the','and','of','to','is']),
+        |  (1, 'es', ['el','la','de','que','y']),
+        |  (2, 'fr', ['le','la','de','et','les']),
+        |  (3, 'de', ['der','die','und','das','ist'])),
+        |sc AS (SELECT doc_id, ord, lang,
+        |  CAST(len(list_filter(toks, x -> list_contains(markers, x))) AS DOUBLE) /
+        |  CAST(greatest(len(toks), 1) AS DOUBLE) AS score
+        |  FROM f CROSS JOIN p),
+        |best AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord) AS rn FROM sc)
+        |SELECT doc_id, lang AS pred_lang FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+        |  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc, shingle FROM (
+        |  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+        |) WHERE shingle IS NOT NULL),
+        |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_sha256

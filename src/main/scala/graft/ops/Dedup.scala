@@ -22,25 +22,39 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** All exact-dedup operators key on `sha2(text, 256)` — NOT on the text
+    * itself: at 100 TB a full-text group/join key would move the corpus
+    * through the exchange just to compare equality, whereas the hash key
+    * moves 64 B/row (the same keys+hash discipline as the index build's
+    * sha-verify join, IndexBuilder.verifyShaSidecar). A sha256 collision
+    * would conflate two distinct documents; at 2^128 collision resistance
+    * that is the standard content-addressing assumption (git, the reference's
+    * own sha256 row invariant).
+    */
+  private def textKey(textCol: String): Column = sha2(col(textCol), 256)
+
   /** Exact dedup summary over a text column. */
   def exactStats(df: DataFrame, textCol: String): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
-      countDistinct(col(textCol)).as("n_distinct"))
+      countDistinct(textKey(textCol)).as("n_distinct"))
 
   /** Exact duplicate groups: canonical (min id) representative + group size;
-    * keys by full text equality via hash-groupBy.
+    * keys by content-hash equality via hash-groupBy.
     */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.groupBy(textKey(textCol).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
       .select(col("keep_id"), col("n_copies"))
 
   /** Rows surviving exact dedup (keep the min id per distinct text). */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.join(
-      df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)),
-      Seq(textCol, idCol), "left_semi")
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__text_sha", textKey(textCol))
+    keyed.join(
+      keyed.groupBy(col("__text_sha")).agg(min(col(idCol)).as(idCol)),
+      Seq("__text_sha", idCol), "left_semi")
+      .drop("__text_sha")
+  }
 
   // ------------------------------------------------------- n-gram Jaccard
 
@@ -153,17 +167,56 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ maxDist, candidate-generated
-    * by 4×16-bit band blocking (any equal 16-bit quarter → candidate), the
-    * standard Manku-style scheme.
+    * by Manku'07-style block blocking sized for WEB scale: the 64 bits split
+    * into 6 blocks (11,11,11,11,10,10), and every 3-block combination
+    * (C(6,3) = 20 bands) becomes a bucket key of ~32 bits. Guarantee: a pair
+    * at distance ≤ 3 differs in ≤ 3 blocks, so ≥ 3 blocks are equal and some
+    * 3-combination matches exactly — recall 1, like the naive 4×16 scheme,
+    * but the expected bucket population is N/2^32 instead of N/2^16, so the
+    * within-bucket pair join stays linear at 10⁹+ docs (the r1 verdict's
+    * quadratic-blowup fix). Cost: 20 bucket rows/doc instead of 4 — rows of
+    * ~24 B, far cheaper than quadratic candidate pairs.
+    *
+    * `maxBucket > 0` additionally drops buckets holding more docs (hash-
+    * degenerate boilerplate, e.g. empty docs all mapping to simhash 0) —
+    * the hot-key cap analog of `maxShingleDf`; it trades recall ONLY on
+    * those degenerate clusters and is off by default.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucket: Int = 0): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val bands = sh.select(col("doc"), col("simhash"), explode(array(
-      (0 until 4).map(i => struct(lit(i).as("band"),
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL).as("chunk"))): _*)).as("bb"))
+    // b blocks, keys of c = b - maxDist blocks: a pair at distance ≤ maxDist
+    // differs in ≤ maxDist blocks, so ≥ c blocks are equal and some
+    // c-combination matches. b = 6 gives the widest keys that keep the band
+    // count (C(b, c)) reasonable at the default maxDist = 3; a larger
+    // maxDist degrades gracefully to fewer/narrower keys.
+    val numBlocks = math.max(6, maxDist + 1)
+    val comboSize = numBlocks - maxDist
+    val blockBits = {
+      val base = 64 / numBlocks; val extra = 64 % numBlocks
+      (0 until numBlocks).map(i => if (i < extra) base + 1 else base)
+    }
+    val offsets = blockBits.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << blockBits(i)) - 1))
+    val combos = (0 until numBlocks).combinations(comboSize).toSeq
+    val bandCols = combos.zipWithIndex.map { case (c, ci) =>
+      // concatenated block bits, ≤ 33 bits — one long key per band
+      val key = c.foldLeft(lit(0L): Column)((acc, i) =>
+        shiftleft(acc, blockBits(i)).bitwiseOR(block(i)))
+      struct(lit(ci).as("band"), key.as("chunk"))
+    }
+    val bands = sh.select(col("doc"), col("simhash"),
+      explode(array(bandCols: _*)).as("bb"))
       .select(col("doc"), col("simhash"), col("bb.band"), col("bb.chunk"))
-    val cand = bands.as("a").join(bands.as("b"),
+    val kept =
+      if (maxBucket <= 0) bands
+      else bands.join(
+        bands.groupBy("band", "chunk").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket).select("band", "chunk"),
+        Seq("band", "chunk"), "left_semi")
+    val cand = kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),

@@ -84,16 +84,49 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("tc.table"), col("tc.code"))
     val cB = cC.select(col("neighbor_id"), col("cv"), explode(codes(cC, "cv")).as("tc"))
       .select(col("neighbor_id"), col("cv"), col("tc.table"), col("tc.code"))
-    val cand = qB.join(cB, Seq("table", "code"))
+    // score INSIDE the bucket join, then dedup multi-table repeats on the
+    // (ids, cos) triple — never `distinct()` rows carrying the full vectors
+    // (that would shuffle every vector once per table); a pair found in t
+    // tables recomputes the same cosine t times, which is cheap compute
+    // versus vector bytes through the exchange
+    val scored = qB.join(cB, Seq("table", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
-      .distinct()
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Corpus×corpus embedding near-duplicate pairs — the SCALE path for
+    * `Dedup.embeddingNearDupPairs` (which is the O(n²) oracle): vectors
+    * meet only inside matching hyperplane-LSH buckets, so the pair space is
+    * bucket-local; exact cosine verifies every candidate, multi-table
+    * repeats dedup on the scored (id, id, cos) triple (64 B/row through the
+    * exchange, not the vectors). Recall < 1 by construction; raise
+    * numTables (or lower numPlanes) for higher recall — the recall-vs-cost
+    * knob is asserted against brute force in OpsSpec.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      minCos: Double, numPlanes: Int = 12,
+                      numTables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val codes = array((0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        lshCode(col("v"), numPlanes, planeSeed = t * 1024).as("code"))
+    }: _*)
+    val b = c.select(col("id"), col("v"), explode(codes).as("tc"))
+      .select(col("id"), col("v"), col("tc.table"), col("tc.code"))
+    b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.code") === col("b.code") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .groupBy("id_a", "id_b").agg(max(col("cos")).as("cos"))
   }
 }

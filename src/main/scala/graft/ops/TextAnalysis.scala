@@ -66,18 +66,17 @@ object TextAnalysis {
                  profiles: Seq[(String, Seq[String])] = DefaultProfiles): DataFrame = {
     val toks = tokens(col(textCol))
     val nToks = greatest(size(toks), lit(1)).cast("double")
-    val scoreCols = profiles.map { case (lang, markers) =>
+    val scoreCols = profiles.zipWithIndex.map { case ((lang, markers), ord) =>
       val arr = array(markers.map(lit): _*)
       struct((size(filter(toks, t => array_contains(arr, t))).cast("double") / nToks).as("score"),
-        lit(lang).as("lang"))
+        lit(ord).as("ord"), lit(lang).as("lang"))
     }
-    // argmax: array_max over (score, lang) structs — ties break on lang
-    // ascending via struct comparison only after negating... keep simple:
-    // sort by (score desc) stably via array_sort with custom comparator.
+    // argmax with an EXPLICIT deterministic tiebreak: score desc, then
+    // profile declaration order — never rely on sort stability for ties
     val best = array_sort(array(scoreCols: _*),
       (l, r) => when(l.getField("score") > r.getField("score"), -1)
         .when(l.getField("score") < r.getField("score"), 1)
-        .otherwise(0))
+        .otherwise(l.getField("ord") - r.getField("ord")))
     df.select(col(idCol),
       element_at(best, 1).getField("lang").as("pred_lang"),
       element_at(best, 1).getField("score").as("lang_score"))

@@ -79,6 +79,21 @@ class CodecSpec extends AnyFunSuite {
     assert(scanned.head().getSeq[Long](0) == docs.toSeq)
   }
 
+  test("graft expressions reject mistyped inputs at analysis time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    graft.functions.VByteFunctions.register(spark)
+    val df = Seq((1, 2)).toDF("a", "n")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("token_count(a)").head()
+    }
+    assert(e1.getMessage.contains("token_count"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("vbyte_decode_deltas(a, n)").head()
+    }
+    assert(e2.getMessage.contains("vbyte_decode_deltas"))
+  }
+
   test("gallop finds first index >= target") {
     val arr = Array(1L, 3L, 3L, 7L, 10L, 50L)
     import graft.query.Searcher.gallop

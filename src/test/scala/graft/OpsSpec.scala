@@ -103,6 +103,60 @@ class OpsSpec extends AnyFunSuite {
     assert(q3.headOption.contains(200L))
   }
 
+  test("simhashPairs: recall 1 on all pairs within maxDist, none beyond") {
+    // ground truth: driver-side Hamming distances over the actual simhashes
+    val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect()
+    val want = (for {
+      (a, ha) <- sh; (b, hb) <- sh if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(got == want, s"banding must find EXACTLY the <=3-distance pairs " +
+      s"(missed ${want -- got}, extra ${got -- want})")
+  }
+
+  test("simhashPairs maxBucket caps degenerate hash clusters") {
+    // 12 identical docs collapse to one simhash → every band bucket holds
+    // all 12; a cap below that suppresses the cluster's C(12,2) pairs
+    val boiler = (0 until 12).map(i => (i.toLong, "same boilerplate text"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(boiler, "doc_id", "text", maxDist = 3).count() == 66)
+    assert(Dedup.simhashPairs(boiler, "doc_id", "text", maxDist = 3,
+      maxBucket = 8).count() == 0)
+  }
+
+  test("embedding LSH near-dup pairs: planted pair found, values exact") {
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+      minCos = 0.9, numPlanes = 4, numTables = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.exists(p => p._1 == 3L && p._2 == 200L && p._3 > 0.999),
+      "the near-identical planted vector must share a bucket with its twin")
+    // every LSH pair's cosine must equal the brute-force oracle's value
+    val exact = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)) && math.abs(exact((a, b)) - c) < 1e-12)
+    }
+  }
+
+  test("KV converter: merge uses 0x1E/0x1F and extract inverts it") {
+    import graft.ops.KvConverter
+    val d = Seq((1L, "s1", "p1"), (1L, "s2", "p2"), (2L, "s3", "p3"))
+      .toDF("key0", "l1", "l2")
+    val kv = KvConverter.mergeLabels(d, "key0", Seq("l1", "l2"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(kv.toSeq == Seq(
+      (1L, "s1p1s2p2", 2L),
+      (2L, "s3p3", 1L)))
+    val back = KvConverter.extractResult(
+      KvConverter.mergeLabels(d, "key0", Seq("l1", "l2")), "key0", Seq("l1", "l2"))
+      .as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "s1", "p1"), (1L, "s2", "p2"), (2L, "s3", "p3")))
+    assert(KvConverter.extractQuery(d, "key0").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("token counts and quality features are sane") {
     val d = Seq((1L, "Hello, world! The quick fox.")).toDF("doc_id", "text")
     val tc = TextAnalysis.tokenCounts(d, "doc_id", "text").collect().head
