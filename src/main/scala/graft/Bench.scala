@@ -204,6 +204,17 @@ object Bench {
     // whole query set as ONE Spark job (the throughput mode)
     qsecs("bm25_batch_qset") = timed(searcher.searchBatch(qset).count())._2
 
+    // hot-term disjunctive (OR) queries — the WAND-pruned document-at-a-time
+    // path; hot lists are walked in pivot jumps, not posting by posting
+    {
+      val orQs = Seq("import def util_7", "import val class", "def return if",
+        "val import zzqx_nothing", "class import def val")
+      orQs.foreach(q => searcher.searchOr(q, 10).collect())
+      val lat = orQs.map(q => timed(searcher.searchOr(q, 10).collect())._2).sorted
+      qsecs("bm25_or_p50") = pct(lat, 0.50)
+      qsecs("bm25_or_p95") = pct(lat, 0.95)
+    }
+
     // metadata-filtered search (zero-idf filter list in the intersection)
     {
       import org.apache.spark.sql.functions.col

@@ -60,10 +60,10 @@ object Main {
 
       case "build" =>
         val spark = session("psispark-build")
+        // both builds checkpoint/resume now: the staged build at
+        // docs/tf/doclen/docs_meta/dict/segments/publish, buildFast (incl.
+        // positional) at docs/dlens/postings/dict
         val positional = opts.getOrElse("positions", "false").toBoolean
-        require(!(positional && opts.contains("stopAfter")),
-          "--stopAfter is a staged-build feature; the positional build is " +
-            "single-pass (buildFast) and has no stage checkpoints")
         val cfg = IndexConfig(
           docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
           stopAfterStage = opts.getOrElse("stopAfter", ""),

@@ -439,10 +439,22 @@ object IndexBuilder {
   }
 
   /** Fast-path build: the same logical pipeline with fused stages and the
-  * minimum data movement — no intermediate parquet materialization, so no
-  * checkpoint resume. This is the throughput configuration (the staged
-  * `build` trades extra IO for per-stage recoverability, like the
-  * reference's sorted temp + KeyInfo cache, table_utils.cc:283-297).
+  * minimum data movement. This is the throughput configuration; since r2 it
+  * is ALSO resumable: each published artifact (docs, dlens, postings, dict)
+  * commits a `_stage_<name>.json` marker after its write completes, and a
+  * rerun skips committed artifacts — so a kill mid-build (including the
+  * positional variant, the engine's flagship path) restarts from the last
+  * finished artifact instead of zero (reference mid-stream resume analog:
+  * psi/algorithm/rr22/receiver.cc:106-109; checkpoint stages,
+  * psi/checkpoint/checkpoint.proto:8-43).
+  *
+  * Resume correctness: docIds are the rank in the TOTAL order of the unique
+  * composite key (repo, path, commit) — partition offsets + local position
+  * after a range sort. The range partitioner's sampled boundaries may
+  * differ between JVMs, but the global rank (and hence every docId and every
+  * downstream artifact) is invariant, so artifacts written by different
+  * attempts compose into one consistent index (asserted byte-identical in
+  * ResumeSpec).
   *
   * Data-movement budget (the thing that decides 100 TB behavior):
   *   - content moves through exactly ONE exchange: the global key range
@@ -472,6 +484,7 @@ object IndexBuilder {
             else negotiatePartitions(spark, corpusDir)
     val files = spark.read.parquet(s"$corpusDir/files.parquet")
     val keyCols = Seq("repo", "path", "commit")
+    val stages = new StageTracker(indexDir, cfg.fingerprint, cfg.stopAfterStage)
 
     // sha256 invariant, verified by a KEYS+HASH join — not by joining the
     // content rows themselves: the reference sidecar check moves ~100 B/row
@@ -479,66 +492,91 @@ object IndexBuilder {
     // content crosses exactly ONE exchange total (the docId range sort
     // below). The extra content scan is narrow + parallel; a violation
     // fails the build before anything is written. NOTE: the corpus is read
-    // twice (this verify pass, then the sort pass below) and is assumed
-    // immutable for the duration of the build — the same contract the
-    // reference's pre-flight CsvChecker pass makes before its protocol run.
-    if (cfg.verifySha) verifyShaSidecar(spark, files, corpusDir, keyCols)
+    // twice (this verify pass, then the sort pass) and is assumed immutable
+    // for the duration of the build — the same contract the reference's
+    // pre-flight CsvChecker pass makes before its protocol run. Re-verified
+    // on every (re)attempt that still has indexing work to do.
+    val allDone = Seq("docs", "dlens", "postings", "dict").forall(stages.isDone)
+    if (cfg.verifySha && !allDone) verifyShaSidecar(spark, files, corpusDir, keyCols)
 
     // ONE global range sort of the full rows defines the docId order; docIds
-    // are partition offsets + local position (no window, no join-back)
-    val fullSorted = files.withColumn("sha256", sha2(col("content"), 256))
-      .repartitionByRange(P, col("repo"), col("path"), col("commit"))
-      .sortWithinPartitions("repo", "path", "commit")
-      .select("repo", "path", "commit", "lang", "sha256", "content")
-      .as[(String, String, String, String, String, String)]
-      .persist()
-    val counts = fullSorted.mapPartitions { it =>
-      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
-    }.collect().toMap
-    val offsets = {
-      var acc = 0L
-      (0 until P).map { pid => val o = pid -> acc; acc += counts.getOrElse(pid, 0L); o }.toMap
-    }
-    val numDocs = counts.values.sum
-    val withId = fullSorted.mapPartitions { it =>
-      var next = offsets(TaskContext.getPartitionId())
-      it.map { case (r, p, c, lang, sha, content) =>
-        val id = next; next += 1; (id, r, p, c, lang, sha, content)
+    // are partition offsets + local position (no window, no join-back).
+    // Built LAZILY: a resume whose remaining stages don't touch the corpus
+    // (e.g. only `dict` left) never pays the sort.
+    var sortedMaterialized: Option[Dataset[(String, String, String, String, String, String)]] = None
+    var numDocsFromSort = -1L
+    lazy val withId: DataFrame = {
+      val fullSorted = files.withColumn("sha256", sha2(col("content"), 256))
+        .repartitionByRange(P, col("repo"), col("path"), col("commit"))
+        .sortWithinPartitions("repo", "path", "commit")
+        .select("repo", "path", "commit", "lang", "sha256", "content")
+        .as[(String, String, String, String, String, String)]
+        .persist()
+      sortedMaterialized = Some(fullSorted)
+      val counts = fullSorted.mapPartitions { it =>
+        Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+      }.collect().toMap
+      val offsets = {
+        var acc = 0L
+        (0 until P).map { pid => val o = pid -> acc; acc += counts.getOrElse(pid, 0L); o }.toMap
       }
-    }.toDF("docId", "repo", "path", "commit", "lang", "sha256", "content")
-    phase("docid-offsets")
+      numDocsFromSort = counts.values.sum
+      val df = fullSorted.mapPartitions { it =>
+        var next = offsets(TaskContext.getPartitionId())
+        it.map { case (r, p, c, lang, sha, content) =>
+          val id = next; next += 1; (id, r, p, c, lang, sha, content)
+        }
+      }.toDF("docId", "repo", "path", "commit", "lang", "sha256", "content")
+      phase("docid-offsets")
+      df
+    }
+    def unpersistSorted(): Unit = sortedMaterialized.foreach(_.unpersist())
 
     val dps = cfg.docsPerShard
-    val nd = numDocs
 
     // docs meta (dlen computed inline from the tokenizer — no doclen join;
     // token_count is the codegen'd zero-allocation twin of
     // size(termsCol(content)), graft.functions.TokenCount);
     // totalTokens is collected as an observed metric of the same write
     graft.functions.VByteFunctions.register(spark)
-    val docsObs = new org.apache.spark.sql.Observation("docstats")
-    withId
-      .select($"docId", $"repo", $"path", $"commit", $"lang",
-        expr("token_count(content)").as("dlen"), $"sha256")
-      .observe(docsObs, sum($"dlen".cast("long")).as("totalTokens"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.parquet")
-    phase("docs-write")
+    var totalTokensObserved = -1L
+    stages.run("docs") {
+      val docsObs = new org.apache.spark.sql.Observation("docstats")
+      withId
+        .select($"docId", $"repo", $"path", $"commit", $"lang",
+          expr("token_count(content)").as("dlen"), $"sha256")
+        .observe(docsObs, sum($"dlen".cast("long")).as("totalTokens"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/docs.parquet")
+      totalTokensObserved = docsObs.get("totalTokens").asInstanceOf[Long]
+      phase("docs-write")
+    }
+    if (stages.stopped) { unpersistSorted(); return null }
+    def docsDf = spark.read.parquet(s"$indexDir/docs.parquet")
+    // corpus stats: from this attempt's sort/observation when the stage ran,
+    // else re-aggregated from the committed docs artifact (narrow scans)
+    val numDocs = if (numDocsFromSort >= 0) numDocsFromSort else docsDf.count()
+    val nd = numDocs
 
-    spark.read.parquet(s"$indexDir/docs.parquet")
-      .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
-      .as[(Long, Int, Int)]
-      .groupByKey(_._3)
-      .mapGroups { (shard, it) =>
-        val first = shard.toLong * dps
-        val size = math.min(dps.toLong, nd - first).toInt
-        val lens = new Array[Int](size)
-        it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
-        ShardLens(shard, first, lens)
-      }
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dlens.parquet")
-    phase("dlens-write")
+    stages.run("dlens") {
+      docsDf
+        .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
+        .as[(Long, Int, Int)]
+        .groupByKey(_._3)
+        .mapGroups { (shard, it) =>
+          val first = shard.toLong * dps
+          val size = math.min(dps.toLong, nd - first).toInt
+          val lens = new Array[Int](size)
+          it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
+          ShardLens(shard, first, lens)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dlens.parquet")
+      phase("dlens-write")
+    }
+    if (stages.stopped) { unpersistSorted(); return null }
 
-    val totalTokens = docsObs.get("totalTokens").asInstanceOf[Long]
+    val totalTokens =
+      if (totalTokensObserved >= 0) totalTokensObserved
+      else docsDf.agg(sum($"dlen".cast("long"))).as[Long].head()
     val avgdl = totalTokens.toDouble / numDocs
     val (k1, b) = (cfg.k1, cfg.b)
     val segCounter = spark.sparkContext.longAccumulator("segments")
@@ -548,127 +586,139 @@ object IndexBuilder {
     // per-partition tokenize+count replaces the explode→groupBy exchange.
     // Token-level rows then cross exactly ONE exchange: the (term, shard)
     // range partition that is also the final published sort order.
-    if (!cfg.positions) {
-      withId
-        .select($"docId", $"content")
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (docId, content) =>
-            val toks = Tokenize.tokenize(content)
-            val dlen = toks.length
-            val shard = (docId / dps).toInt
-            val m = new java.util.HashMap[String, Int]()
-            var i = 0
-            while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
-            import scala.jdk.CollectionConverters._
-            m.entrySet().iterator().asScala.map { e =>
-              (e.getKey, docId, e.getValue.intValue(), dlen, shard)
-            }
-          }
-        }
-        .toDF("term", "docId", "tf", "dlen", "shard")
-        .as[(String, Long, Int, Int, Int)]
-        // hash partition (the reference's hash-bucket spill,
-        // psi/utils/hash_bucket_cache.cc:56-57) rather than range: a range
-        // partitioner would SAMPLE its child, re-running the tokenize pass;
-        // each output file is still (term, shard, docId)-sorted, so parquet
-        // row-group pruning on `term IN (...)` stays tight — a term routes
-        // to exactly one file either way
-        .repartition(P, $"term", $"shard")
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .mapPartitions { it =>
-          val buf = it.buffered
-          new Iterator[PostingSeg] {
-            def hasNext: Boolean = buf.hasNext
-            def next(): PostingSeg = {
-              segCounter.add(1)
-              val (term, _, _, _, shard) = buf.head
-              val docs = Array.newBuilder[Long]
-              val tfs = Array.newBuilder[Int]
-              val dls = Array.newBuilder[Int]
-              while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-                val (_, d, f, dl, _) = buf.next()
-                docs += d; tfs += f; dls += dl
+    stages.run("postings") {
+      if (!cfg.positions) {
+        withId
+          .select($"docId", $"content")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (docId, content) =>
+              val toks = Tokenize.tokenize(content)
+              val dlen = toks.length
+              val shard = (docId / dps).toInt
+              val m = new java.util.HashMap[String, Int]()
+              var i = 0
+              while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala.map { e =>
+                (e.getKey, docId, e.getValue.intValue(), dlen, shard)
               }
-              val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-              Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
             }
           }
-        }
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
-    } else {
-      // positional variant (opt-in): each (term, docId) row carries the
-      // ascending in-document token positions; the segment gains posBytes
-      // (PostingSegP) enabling phrase queries (Searcher.searchPhrase)
-      withId
-        .select($"docId", $"content")
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (docId, content) =>
-            val toks = Tokenize.tokenize(content)
-            val dlen = toks.length
-            val shard = (docId / dps).toInt
-            val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
-            var i = 0
-            while (i < toks.length) {
-              var bld = m.get(toks(i))
-              if (bld == null) {
-                bld = new scala.collection.mutable.ArrayBuilder.ofInt
-                m.put(toks(i), bld)
+          .toDF("term", "docId", "tf", "dlen", "shard")
+          .as[(String, Long, Int, Int, Int)]
+          // hash partition (the reference's hash-bucket spill,
+          // psi/utils/hash_bucket_cache.cc:56-57) rather than range: a range
+          // partitioner would SAMPLE its child, re-running the tokenize pass;
+          // each output file is still (term, shard, docId)-sorted, so parquet
+          // row-group pruning on `term IN (...)` stays tight — a term routes
+          // to exactly one file either way
+          .repartition(P, $"term", $"shard")
+          .sortWithinPartitions($"term", $"shard", $"docId")
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[PostingSeg] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): PostingSeg = {
+                segCounter.add(1)
+                val (term, _, _, _, shard) = buf.head
+                val docs = Array.newBuilder[Long]
+                val tfs = Array.newBuilder[Int]
+                val dls = Array.newBuilder[Int]
+                while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+                  val (_, d, f, dl, _) = buf.next()
+                  docs += d; tfs += f; dls += dl
+                }
+                val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+                Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
               }
-              bld += i
-              i += 1
-            }
-            import scala.jdk.CollectionConverters._
-            m.entrySet().iterator().asScala.map { e =>
-              val ps = e.getValue.result()
-              (e.getKey, docId, ps.length, dlen, shard, ps)
             }
           }
-        }
-        .toDF("term", "docId", "tf", "dlen", "shard", "pos")
-        .as[(String, Long, Int, Int, Int, Array[Int])]
-        .repartition(P, $"term", $"shard") // see non-positional branch note
-        .sortWithinPartitions($"term", $"shard", $"docId")
-        .mapPartitions { it =>
-          val buf = it.buffered
-          new Iterator[PostingSegP] {
-            def hasNext: Boolean = buf.hasNext
-            def next(): PostingSegP = {
-              segCounter.add(1)
-              val (term, _, _, _, shard, _) = buf.head
-              val docs = Array.newBuilder[Long]
-              val tfs = Array.newBuilder[Int]
-              val dls = Array.newBuilder[Int]
-              val poss = Array.newBuilder[Array[Int]]
-              while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-                val (_, d, f, dl, _, ps) = buf.next()
-                docs += d; tfs += f; dls += dl; poss += ps
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+      } else {
+        // positional variant (opt-in): each (term, docId) row carries the
+        // ascending in-document token positions; the segment gains posBytes
+        // (PostingSegP) enabling phrase queries (Searcher.searchPhrase)
+        withId
+          .select($"docId", $"content")
+          .as[(Long, String)]
+          .mapPartitions { it =>
+            it.flatMap { case (docId, content) =>
+              val toks = Tokenize.tokenize(content)
+              val dlen = toks.length
+              val shard = (docId / dps).toInt
+              val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+              var i = 0
+              while (i < toks.length) {
+                var bld = m.get(toks(i))
+                if (bld == null) {
+                  bld = new scala.collection.mutable.ArrayBuilder.ofInt
+                  m.put(toks(i), bld)
+                }
+                bld += i
+                i += 1
               }
-              val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-              Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
-                Codec.encodePositions(poss.result()))
+              import scala.jdk.CollectionConverters._
+              m.entrySet().iterator().asScala.map { e =>
+                val ps = e.getValue.result()
+                (e.getKey, docId, ps.length, dlen, shard, ps)
+              }
             }
           }
-        }
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+          .toDF("term", "docId", "tf", "dlen", "shard", "pos")
+          .as[(String, Long, Int, Int, Int, Array[Int])]
+          .repartition(P, $"term", $"shard") // see non-positional branch note
+          .sortWithinPartitions($"term", $"shard", $"docId")
+          .mapPartitions { it =>
+            val buf = it.buffered
+            new Iterator[PostingSegP] {
+              def hasNext: Boolean = buf.hasNext
+              def next(): PostingSegP = {
+                segCounter.add(1)
+                val (term, _, _, _, shard, _) = buf.head
+                val docs = Array.newBuilder[Long]
+                val tfs = Array.newBuilder[Int]
+                val dls = Array.newBuilder[Int]
+                val poss = Array.newBuilder[Array[Int]]
+                while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+                  val (_, d, f, dl, _, ps) = buf.next()
+                  docs += d; tfs += f; dls += dl; poss += ps
+                }
+                val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+                Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
+                  Codec.encodePositions(poss.result()))
+              }
+            }
+          }
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+      }
+      phase("publish-write")
     }
-    fullSorted.unpersist()
-    phase("publish-write")
+    unpersistSorted()
+    if (stages.stopped) return null
 
     // dictionary derived from the compressed segments (no second tokenize);
     // numTerms observed during the same write
-    val dictObs = new org.apache.spark.sql.Observation("dictstats")
-    spark.read.parquet(s"$indexDir/postings.parquet")
-      .groupBy("term")
-      .agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))
-      .observe(dictObs, count(lit(1)).as("numTerms"))
-      .as[TermStat]
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict.parquet")
-    phase("dict-write")
+    var numTermsObserved = -1L
+    stages.run("dict") {
+      val dictObs = new org.apache.spark.sql.Observation("dictstats")
+      spark.read.parquet(s"$indexDir/postings.parquet")
+        .groupBy("term")
+        .agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))
+        .observe(dictObs, count(lit(1)).as("numTerms"))
+        .as[TermStat]
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict.parquet")
+      numTermsObserved = dictObs.get("numTerms").asInstanceOf[Long]
+      phase("dict-write")
+    }
+    if (stages.stopped) return null
 
-    val numTerms = dictObs.get("numTerms").asInstanceOf[Long]
-    val numSegments = segCounter.value.longValue()
+    val numTerms =
+      if (numTermsObserved >= 0) numTermsObserved
+      else spark.read.parquet(s"$indexDir/dict.parquet").count()
+    val numSegments =
+      if (stages.ranStages.contains("postings")) segCounter.value.longValue()
+      else spark.read.parquet(s"$indexDir/postings.parquet").count()
     val meta = IndexMeta(numDocs, totalTokens, avgdl, cfg.k1, cfg.b,
       cfg.docsPerShard, numTerms, numSegments, cfg.fingerprint)
     Metrics.writeMetaJson(s"$indexDir/meta.json", meta)

@@ -43,6 +43,44 @@ class ResumeSpec extends AnyFunSuite {
     assert(segs(fullIndexDir).exceptAll(segs(resumeDir)).isEmpty)
   }
 
+  test("interrupted POSITIONAL buildFast resumes and is byte-identical") {
+    val (corpusDir, _) = TestSpark.builtIndex
+    val cfg = IndexConfig(docsPerShard = 256, positions = true)
+    // uninterrupted reference build
+    val fullDir = s"${TestSpark.workDir}/index_pos_full"
+    IndexBuilder.buildFast(spark, corpusDir, fullDir, cfg)
+    // kill after the dlens artifact (before postings — the expensive stage)
+    val resumeDir = s"${TestSpark.workDir}/index_pos_resume"
+    val stopped = IndexBuilder.buildFast(spark, corpusDir, resumeDir,
+      cfg.copy(stopAfterStage = "dlens"))
+    assert(stopped == null)
+    assert(Files.exists(Paths.get(s"$resumeDir/_stage_dlens.json")))
+    assert(!Files.exists(Paths.get(s"$resumeDir/_stage_postings.json")))
+    assert(!Files.exists(Paths.get(s"$resumeDir/meta.json")))
+    // resume: docs+dlens skipped, postings+dict built by a second attempt
+    val tracker = new graft.index.StageTracker(resumeDir, cfg.fingerprint, "")
+    assert(tracker.isDone("docs") && tracker.isDone("dlens"))
+    assert(!tracker.isDone("postings"))
+    val meta = IndexBuilder.buildFast(spark, corpusDir, resumeDir, cfg)
+    val fullMeta = IndexBuilder.readMeta(fullDir)
+    assert(meta.numDocs == fullMeta.numDocs &&
+      meta.totalTokens == fullMeta.totalTokens &&
+      meta.numTerms == fullMeta.numTerms &&
+      meta.numSegments == fullMeta.numSegments && meta.avgdl == fullMeta.avgdl)
+    // byte-identical postings INCLUDING positions
+    def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+      .select("term", "shard", "n", "docBytes", "tfBytes", "posBytes")
+    assert(segs(resumeDir).exceptAll(segs(fullDir)).isEmpty)
+    assert(segs(fullDir).exceptAll(segs(resumeDir)).isEmpty)
+    // phrase query over the resumed index matches the oracle
+    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val s = new graft.query.Searcher(spark, resumeDir)
+    val got = s.searchPhrase("import def", 5).collect().map(h => (h.docId, h.score))
+    val want = graft.oracle.OracleBm25.topKPhrase(files, "import def", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("fast-path build produces an identical index to the staged build") {
     val (corpusDir, stagedDir) = TestSpark.builtIndex
     val fastDir = s"${TestSpark.workDir}/index_fast"

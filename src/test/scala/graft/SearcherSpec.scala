@@ -32,6 +32,21 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.searchOr("zzqx_a zzqx_b", 5).isEmpty)
   }
 
+  test("OR-mode WAND pruning skips hot lists on rare+hot queries, stays exact") {
+    // the WAND win condition: a rare high-idf term sets θ above the hot
+    // list's score ceiling, so the hot list is GALLOPED between the rare
+    // term's postings instead of scored posting-by-posting; with all-hot
+    // queries (clustered scores) pruning correctly degrades to a full walk
+    val s2 = new Searcher(spark, indexDir) // fresh accumulators
+    val q = "util_7 import"
+    val g = got(s2.searchOr(q, 5))
+    assert(g.toSeq == oracleOr(q, 5).toSeq)
+    val hotDf = files.count() // 'import' is in essentially every doc
+    assert(s2.candidatesScored.value < hotDf / 2,
+      s"scored=${s2.candidatesScored.value} of ~$hotDf hot postings — " +
+        "the hot list was walked, not skipped")
+  }
+
   test("AND result is a subset of OR result universe; OR ⊇ AND scores") {
     val and = got(searcher.search("import val", 200)).toMap
     val or = got(searcher.searchOr("import val", 10000)).toMap
