@@ -68,11 +68,16 @@ object Main {
           docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
           stopAfterStage = opts.getOrElse("stopAfter", ""),
           positions = positional)
+        val reporter =
+          if (opts.getOrElse("progress", "true").toBoolean)
+            Some(ProgressReporter.attach(spark, "build"))
+          else None
         val t0 = System.nanoTime()
         val meta =
           if (positional) IndexBuilder.buildFast(spark, opts("corpus"), opts("index"), cfg)
           else IndexBuilder.build(spark, opts("corpus"), opts("index"), cfg)
         val sec = (System.nanoTime() - t0) / 1e9
+        reporter.foreach(ProgressReporter.detach(spark, _))
         if (meta == null)
           println(s"stopped after stage '${cfg.stopAfterStage}' (checkpoint test mode)")
         else {

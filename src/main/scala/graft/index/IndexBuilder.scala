@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 
 import graft._
+import graft.sources.CorpusSource
 
 /** Build configuration — the analog of the reference's declarative
   * `PsiConfig` (psi/proto/psi_v2.proto:320-397).
@@ -106,7 +107,7 @@ object IndexBuilder {
     val checked = files
       .select(col("repo"), col("path"), col("commit"),
         sha2(col("content"), 256).as("got_sha"))
-      .join(spark.read.parquet(s"$corpusDir/ref_sha.parquet"), keyCols, "left")
+      .join(CorpusSource.readRefSha(spark, corpusDir), keyCols, "left")
       .agg(
         count(lit(1)).as("total"),
         count(when(col("ref_sha256").isNull, 1)).as("uncovered"),
@@ -133,7 +134,7 @@ object IndexBuilder {
     val fp = cfg.fingerprint
     val stages = new StageTracker(indexDir, fp, cfg.stopAfterStage)
 
-    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val files = CorpusSource.readFiles(spark, corpusDir)
     val keyCols = Seq("repo", "path", "commit")
 
     // ---- stage: docs (validate + assign docIds) -------------------------
@@ -482,7 +483,7 @@ object IndexBuilder {
     Files.createDirectories(Paths.get(indexDir))
     val P = if (cfg.buildPartitions > 0) cfg.buildPartitions
             else negotiatePartitions(spark, corpusDir)
-    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val files = CorpusSource.readFiles(spark, corpusDir)
     val keyCols = Seq("repo", "path", "commit")
     val stages = new StageTracker(indexDir, cfg.fingerprint, cfg.stopAfterStage)
 
