@@ -18,6 +18,8 @@ import graft.query.Searcher
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
   *          (drain-available-then-stop incremental delta indexing)
+  *   convert --in PARQUET --out PARQUET --key K --labels a,b [--mode merge|extract]
+  *          (APSI KV converter, psi/utils/csv_converter.h:31-80)
   */
 object Main {
 
@@ -110,6 +112,24 @@ object Main {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"compacted ${deltas.size} deltas into ${opts("out")}: " +
           f"${meta.numDocs} docs, ${meta.numSegments} segments in $sec%.1f s")
+        spark.stop()
+
+      case "convert" =>
+        // APSI KV conversion at the launcher surface (the reference ships
+        // ApsiCsvConverter as tooling around its PIR flow,
+        // psi/utils/csv_converter.h:31-80): merge a parquet table's label
+        // columns per key into (key, value, key_count), or invert a merged
+        // table back into rows.
+        val spark = session("psispark-convert")
+        val labels = opts("labels").split(",").toSeq
+        val df = spark.read.parquet(opts("in"))
+        val out = opts.getOrElse("mode", "merge") match {
+          case "merge" => graft.ops.KvConverter.mergeLabels(df, opts("key"), labels)
+          case "extract" => graft.ops.KvConverter.extractResult(df, opts("key"), labels)
+          case m => sys.error(s"unknown convert mode '$m' (merge|extract)")
+        }
+        out.write.mode("overwrite").parquet(opts("out"))
+        println(s"converted ${opts("in")} -> ${opts("out")} (${out.columns.mkString(",")})")
         spark.stop()
 
       case "query" =>
