@@ -29,6 +29,9 @@ object SparkEntry {
   // deterministic fixed sample terms for index roundtrip/BM25 gate queries
   private val RoundtripTerms = Seq("import", "def", "util_7", "util_123")
   private val Bm25Query = "import def util_7"
+  // (name, query, k) triples shared by the q_bm25_batch gate and its oracle
+  private val BatchQueries = Seq(
+    ("a", Bm25Query, 5), ("b", "import val", 5), ("c", "util_7", 3))
   private val PhraseQuery = Seq("import", "def")
   private val Phrase3Query = Seq("import", "def", "class")
 
@@ -340,12 +343,10 @@ object SparkEntry {
     }),
 
     "q_bm25_batch" -> ((s, dir) => {
-      // many queries, one Spark job (rows-only gate; per-query rank identity
-      // is asserted against the oracle in SearcherSpec)
+      // many queries, one Spark job; oracle = UNION ALL of per-query top-k
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
-        .searchBatch(Seq(
-          ("a", Bm25Query, 5), ("b", "import val", 5), ("c", "util_7", 3)))
+        .searchBatch(BatchQueries)
         .select(col("query_name"), col("docId"),
           round(col("score"), 9).as("score"), col("rank"))
         .orderBy("query_name", "rank")
@@ -532,6 +533,45 @@ object SparkEntry {
        |SELECT agg.docid AS docId, round($scoreSum, 9) AS score
        |FROM agg JOIN pdocs ON agg.docid = pdocs.docid
        |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
+  }
+
+  /** Batched-search oracle: UNION ALL of per-query conjunctive BM25 top-k,
+    * each scored with the identical ascending-term sum order as the Spark
+    * kernel (bit-exact, same as q_bm25_topk) plus a per-query rank column.
+    */
+  private def batchOracleSql(queries: Seq[(String, String, Int)]): String = {
+    val (k1, b) = (1.2, 0.75)
+    val allTerms = queries.flatMap(_._2.split(" ")).distinct.sorted
+    val perQuery = queries.map { case (name, q, k) =>
+      val terms = q.split(" ").distinct.sorted
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"
+      }.mkString(", ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      val cte =
+        s"""agg_$name AS (SELECT docid, $termScores
+           |  FROM s WHERE s.tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY docid HAVING count(*) = ${terms.length}),
+           |top_$name AS (SELECT * FROM (
+           |  SELECT '$name' AS query_name, docid, $scoreSum AS raw,
+           |         CAST(row_number() OVER (ORDER BY $scoreSum DESC, docid) AS INT) AS rank
+           |  FROM agg_$name) WHERE rank <= $k)""".stripMargin
+      (cte, s"SELECT * FROM top_$name")
+    }
+    s"""WITH $corpusCte,
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (${allTerms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+       |s AS (SELECT tf.docid, tf.tok,
+       |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+       |${perQuery.map(_._1).mkString(",\n")}
+       |SELECT query_name, docid AS docId, round(raw, 9) AS score, rank
+       |FROM (${perQuery.map(_._2).mkString(" UNION ALL ")})
+       |ORDER BY query_name, rank""".stripMargin
   }
 
   /** Tokenized corpus CTE shared by the index oracles (identical semantics
@@ -738,6 +778,8 @@ object SparkEntry {
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
+
+    "q_bm25_batch" -> batchOracleSql(BatchQueries),
 
     "q_bm25_filtered" -> {
       val terms = Bm25Query.split(" ").distinct.sorted
