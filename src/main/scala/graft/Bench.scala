@@ -38,7 +38,8 @@ object Bench {
     "q_set_intersect", "q_multiparty_intersect", "q_multikey_sort",
     "q_topk", "q_window_rank", "q_rolling_digest",
     "q_token_counts", "q_text_quality", "q_fingerprint", "q_lang_id",
-    "q_multimodal_stub", "q_ann_topk", "q_stream_window")
+    "q_multimodal_stub", "q_ann_topk", "q_ann_ivf", "q_sessionize",
+    "q_stream_window")
 
   /** Bench working dir: tmpfs when available. A single shared spinning/virt
     * disk is a sandbox artifact — on a real cluster every added executor

@@ -424,6 +424,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF-flat scale path (inverted lists from trained centroids); with
+      // nprobe = nlist the probe covers every list, so the result equals the
+      // exact brute-force top-k — oracle-checked against the same SQL as
+      // q_ann_topk; partial-probe recall is asserted in OpsSpec
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+      Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nlist = 8, nprobe = 8, iters = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // -------------------------------------------------------- text analysis
     "q_token_counts" -> ((s, dir) => {
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
@@ -485,6 +499,21 @@ object SparkEntry {
         .withColumn("win_start", col("win_start").cast("long"))
         .select("user_id", "win_start", "n")
         .orderBy("user_id", "win_start")
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      // native session_window, 24h gap; stream form asserted identical in
+      // StreamingIndexSpec — this gate checks the merged-session semantics
+      EventStream.sessionize(s, dir)
+        .withColumn("sess_start", col("sess_start").cast("long"))
+        .withColumn("sess_end", col("sess_end").cast("long"))
+        .orderBy("user_id", "sess_start")
+    }),
+
+    "q_stream_state" -> ((s, dir) => {
+      // flatMapGroupsWithState running totals; one batch over the static
+      // table → emission equals the batch groupBy the oracle computes
+      EventStream.statefulUserTotals(s, dir)
     })
   )
 
@@ -534,6 +563,22 @@ object SparkEntry {
        |FROM agg JOIN pdocs ON agg.docid = pdocs.docid
        |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
   }
+
+  /** Exact cosine top-5 for query vectors vec_id < 3 — the oracle for both
+    * the brute-force ANN gate and the full-probe IVF gate.
+    */
+  private val annTop5OracleSql =
+    """WITH scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) /
+      |  (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x))) *
+      |   sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS y)))) AS cos
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Batched-search oracle: UNION ALL of per-query conjunctive BM25 top-k,
     * each scored with the identical ascending-term sum order as the Spark
@@ -850,18 +895,11 @@ object SparkEntry {
         |  sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y)))), 6) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_ann_topk" ->
-      """WITH scored AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y)) /
-        |  (sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x))) *
-        |   sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS y)))) AS cos
-        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
-        |ranked AS (SELECT query_id, neighbor_id, cos,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_topk" -> annTop5OracleSql,
+
+    // IVF with nprobe = nlist probes every inverted list → exact top-k, so
+    // the brute-force oracle applies verbatim
+    "q_ann_ivf" -> annTop5OracleSql,
 
     "q_token_counts" ->
       """SELECT doc_id,
@@ -945,6 +983,27 @@ object SparkEntry {
 
     "q_stream_users" ->
       """SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
-        |count(*) AS n FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin
+        |count(*) AS n FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin,
+
+    // gap-sessionization oracle: classic lag + cumulative break-flag session
+    // ids; session end = last event + gap (Spark merged-session semantics);
+    // a new session starts only when ts > prev + gap (session end INCLUSIVE:
+    // an event at exactly prev + gap extends the session — EventStreamSpec)
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |f AS (SELECT user_id, ts, value,
+        |  CASE WHEN prev IS NULL OR ts > prev + INTERVAL 24 HOUR THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        |  CAST(floor(epoch(max(ts) + INTERVAL 24 HOUR)) AS BIGINT) AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_stream_state" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 }

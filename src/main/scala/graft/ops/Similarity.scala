@@ -110,6 +110,100 @@ object Similarity {
     * numTables (or lower numPlanes) for higher recall — the recall-vs-cost
     * knob is asserted against brute force in OpsSpec.
     */
+  // ------------------------------------------------------------------ IVF
+
+  /** Per-centroid similarity scores as an array of (cos, cid) structs —
+    * `array_max` of it is the nearest-centroid assignment, a sorted slice is
+    * the query-side probe list. `cents` is an array<struct<cid,cv>> column.
+    */
+  private def centScores(vec: Column, cents: Column): Column =
+    transform(cents, c =>
+      struct(cosine(vec, c.getField("cv")).as("cos"), c.getField("cid").as("cid")))
+
+  /** One-row DataFrame carrying the whole centroid table as an array column;
+    * crossJoin(broadcast(·)) attaches it to every row so assignment/probing
+    * are pure projections — the corpus crosses NO exchange to be assigned.
+    */
+  private def centroidRow(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+
+  /** Train an IVF coarse quantizer: `nlist` deterministic seed vectors (the
+    * corpus rows with the smallest xxhash64(id) — a seeded uniform sample, no
+    * RNG state to ship) refined by `iters` Lloyd iterations of spherical
+    * k-means. Each iteration is two small shuffles over the TRAINING SAMPLE
+    * only (`trainSampleMod` thins the corpus: keep rows with
+    * xxhash64(id) % mod == 0); at 100 TB you train on ~1M sampled vectors,
+    * never the corpus. Input: (id, v double-array). Output: (cid, cv).
+    */
+  def trainCentroids(c: DataFrame, nlist: Int, iters: Int = 2,
+                     trainSampleMod: Int = 1): DataFrame = {
+    val sample =
+      if (trainSampleMod <= 1) c
+      else c.filter(pmod(xxhash64(col("id")), lit(trainSampleMod.toLong)) === 0)
+    var cents = c.select(col("id"), col("v"), xxhash64(col("id")).as("h"))
+      .orderBy("h").limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = sample.crossJoin(broadcast(centroidRow(cents)))
+        .select(col("v"),
+          array_max(centScores(col("v"), col("cents"))).getField("cid").as("cid"))
+      // element-wise mean per cluster: explode by position, avg, re-assemble
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          p => p.getField("x")).as("cv"))
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) ANN top-k — the second scale path next to LSH,
+    * FAISS-IVF-flat shape: a small trained centroid table partitions the
+    * corpus into `nlist` inverted lists (each vector in EXACTLY one list, so
+    * unlike LSH there are no duplicate candidates to merge); a query probes
+    * its `nprobe` nearest lists and computes exact cosine only there.
+    * Corpus-side assignment is a broadcast projection (no exchange); the only
+    * corpus shuffle is the equi-join on the list id, and recall scales with
+    * nprobe/nlist. Reference bucket-decomposition analog:
+    * psi/utils/hash_bucket_cache.cc (buckets bound candidate pair space).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    // Materialize the trained quantizer ONCE: the centroid table is the
+    // model artifact (nlist × dim doubles — driver-sized by construction,
+    // like FAISS's stored coarse quantizer). Collecting breaks the lineage so
+    // the Lloyd-iteration subtree is not re-executed under both the
+    // corpus-assignment and the query-probe branches of the plan.
+    val trained = trainCentroids(c, nlist, iters, trainSampleMod)
+    val spark = corpus.sparkSession
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(trained.collect().toSeq, 1), trained.schema)
+    val cRow = broadcast(centroidRow(cents))
+    val lists = c.crossJoin(cRow)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        array_max(centScores(col("v"), col("cents"))).getField("cid").as("cid"))
+    val probes = q.crossJoin(cRow)
+      .select(col("query_id"), col("qv"),
+        explode(slice(reverse(array_sort(centScores(col("qv"), col("cents")))),
+          1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("cid"))
+    val scored = probes.join(lists, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCos: Double, numPlanes: Int = 12,
                       numTables: Int = 4): DataFrame = {

@@ -54,9 +54,92 @@ object EventStream {
       .orderBy("win_start", "event_type")
   }
 
-  /** Stateful sessionization demo: per-user event counts with
-    * flatMapGroupsWithState-equivalent semantics via windowed dedup — kept
-    * as a simple per-user tumbling session count here.
+  /** Gap-based sessionization with the native `session_window` operator:
+    * events of a user belong to one session while each is < `gap` after the
+    * previous; session end = last event + gap (Spark merged-session
+    * semantics). Batch form — the identical aggregation runs as a stream in
+    * `sessionizeStream` (asserted equal in StreamingIndexSpec), which is the
+    * point of declaring it on the DataFrame API: one plan, both runtimes.
+    * Scale shape: one exchange keyed on user_id, sessions merged inside the
+    * aggregation — never a self-join or window-function sort over all events.
+    */
+  def sessionize(spark: SparkSession, sfDir: String,
+                 gap: String = "24 hours"): DataFrame =
+    sessionAgg(spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp")), gap)
+
+  /** The same sessionization as a Structured Stream. Streaming session
+    * windows REQUIRE append mode (anything else would pin unbounded session
+    * state), so a session is emitted exactly once — when the watermark passes
+    * its end and it can no longer grow. Sessions still open at end-of-input
+    * are therefore absent by design; EventStreamSpec asserts the emitted set
+    * equals the batch result restricted to watermark-closed sessions.
+    */
+  def sessionizeStream(spark: SparkSession, sfDir: String,
+                       gap: String = "24 hours",
+                       watermark: String = "10 minutes"): DataFrame = {
+    val agg = sessionAgg(
+      readEvents(spark, sfDir).withWatermark("ts", watermark), gap)
+    val name = s"stream_sessions_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      // append-mode eviction happens in a NO-DATA micro-batch after the last
+      // data batch (the watermark only advances at batch end), and
+      // processAllAvailable doesn't wait for it — block until a committed
+      // batch with zero input rows proves the eviction pass ran
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while ((q.lastProgress == null || q.lastProgress.numInputRows != 0) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+    } finally q.stop()
+    spark.table(name).orderBy("user_id", "sess_start")
+  }
+
+  private def sessionAgg(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"), col("sum_value"))
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user running
+    * totals held in explicit GroupState (the mapGroups analog of the
+    * reference's UB-PSI server-side cached state, psi/wrapper cache updates).
+    * Emits one row per user per micro-batch with the running aggregate; on a
+    * static input (one batch) the emission equals the batch groupBy — the
+    * equivalence StreamingIndexSpec asserts.
+    */
+  def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stream = readEvents(spark, sfDir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val updated = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator((user, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+    val name = s"stream_state_${counter.incrementAndGet()}"
+    val q = updated.writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name).orderBy("user_id")
+  }
+
+  /** Per-user hourly activity (tumbling window). For genuine custom state
+    * see `statefulUserTotals` (flatMapGroupsWithState); for gap sessions see
+    * `sessionize`/`sessionizeStream` (native session_window).
     */
   def perUserActivity(spark: SparkSession, sfDir: String): DataFrame = {
     val stream = readEvents(spark, sfDir)

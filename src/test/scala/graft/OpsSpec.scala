@@ -103,6 +103,27 @@ class OpsSpec extends AnyFunSuite {
     assert(q3.headOption.contains(200L))
   }
 
+  test("IVF ANN finds the planted neighbor; full probe = exact top-k") {
+    val q = vecs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 4, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@5 = $recall")
+    // near-identical vectors land in the same inverted list → always found
+    val q3 = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 3L),
+      "vec_id", "embedding", 3, nlist = 8, nprobe = 2, iters = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(q3.headOption.contains(200L))
+    // probing every list degenerates to the exact scan — recall 1
+    val full = Similarity.ivfTopK(vecs, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 8, iters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact, "nprobe = nlist must equal brute force")
+  }
+
   test("simhashPairs: recall 1 on all pairs within maxDist, none beyond") {
     // ground truth: driver-side Hamming distances over the actual simhashes
     val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect()
