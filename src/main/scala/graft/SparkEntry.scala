@@ -503,7 +503,7 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, dir) => {
       // native session_window, 24h gap; stream form asserted identical in
-      // StreamingIndexSpec — this gate checks the merged-session semantics
+      // EventStreamSpec — this gate checks the merged-session semantics
       EventStream.sessionize(s, dir)
         .withColumn("sess_start", col("sess_start").cast("long"))
         .withColumn("sess_end", col("sess_end").cast("long"))

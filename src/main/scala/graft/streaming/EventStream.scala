@@ -58,7 +58,7 @@ object EventStream {
     * events of a user belong to one session while each is < `gap` after the
     * previous; session end = last event + gap (Spark merged-session
     * semantics). Batch form — the identical aggregation runs as a stream in
-    * `sessionizeStream` (asserted equal in StreamingIndexSpec), which is the
+    * `sessionizeStream` (asserted equal in EventStreamSpec), which is the
     * point of declaring it on the DataFrame API: one plan, both runtimes.
     * Scale shape: one exchange keyed on user_id, sessions merged inside the
     * aggregation — never a self-join or window-function sort over all events.
@@ -109,7 +109,7 @@ object EventStream {
     * reference's UB-PSI server-side cached state, psi/wrapper cache updates).
     * Emits one row per user per micro-batch with the running aggregate; on a
     * static input (one batch) the emission equals the batch groupBy — the
-    * equivalence StreamingIndexSpec asserts.
+    * equivalence EventStreamSpec asserts.
     */
   def statefulUserTotals(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
