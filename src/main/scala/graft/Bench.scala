@@ -259,6 +259,15 @@ object Bench {
     // median-based efficiencies ride along so a lucky/unlucky min is visible
     val effMed28 = ((BenchDocs / median(raw(lowCpus))) / (BenchDocs / median(raw(2)))) / (lowCpus / 2.0)
     val effMedHigh = ((BenchDocs / median(raw(cpus))) / (BenchDocs / median(raw(lowCpus)))) / (cpus.toDouble / lowCpus)
+    // PAIRED estimator: reps are interleaved across levels, so rep i's runs
+    // at both levels sit in the same host-noise window — the per-rep ratio
+    // cancels the window, and the median of those ratios is robust to both
+    // a lucky min on one side and a slow outlier rep (standard paired-ratio
+    // treatment for noisy-host scaling measurements)
+    def effPaired(lo: Int, hi: Int): Double = median(
+      raw(lo).zip(raw(hi)).map { case (tl, th) => (tl / th) / (hi.toDouble / lo) }.toVector)
+    val effPair28 = effPaired(2, lowCpus)
+    val effPairHigh = effPaired(lowCpus, cpus)
     val rawJson = raw.map { case (n, xs) =>
       s""""$n":${xs.map(x => f"$x%.2f").mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -270,8 +279,10 @@ object Bench {
         f""""eff_2_to_$lowCpus":$eff28%.3f,"eff_${lowCpus}_to_$cpus":$efficiency%.3f,""" +
         f""""eff_median_2_to_$lowCpus":$effMed28%.3f,""" +
         f""""eff_median_${lowCpus}_to_$cpus":$effMedHigh%.3f,""" +
+        f""""eff_paired_2_to_$lowCpus":$effPair28%.3f,""" +
+        f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,""" +
         s""""repsPerLevel":${raw(levels.head).size},"rawSecByCores":$rawJson,""" +
-        s""""estimator":"per-level min over interleaved forked-JVM reps; reps auto-escalate (cap $maxReps) on >20% spread or non-monotonic throughput"}"""
+        s""""estimator":"per-level min + per-level median + paired per-rep ratio median, over interleaved forked-JVM reps; reps auto-escalate (cap $maxReps) on >20% spread or non-monotonic throughput"}"""
     val idx =
       f"""{"docs":${meta.numDocs},"postings":${meta.totalTokens},""" +
         f""""filesPerSec":${BenchDocs / tHigh}%.1f,"postingsPerSec":${meta.totalTokens / tHigh}%.0f,""" +

@@ -45,7 +45,8 @@ object OracleBm25 {
     * scales.
     */
   def topKScalable(filesWithId: DataFrame, query: String, k: Int,
-                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k1: Double = 1.2, b: Double = 0.75,
+                   conjunctive: Boolean = true): DataFrame = {
     val spark = filesWithId.sparkSession
     import spark.implicits._
     val terms = Tokenize.tokenize(query).distinct.sorted
@@ -62,7 +63,9 @@ object OracleBm25 {
     val avgdl = totalTokens.toDouble / numDocs
     val dfByTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .as[(String, Long)].collect().toMap
-    if (terms.exists(t => !dfByTerm.contains(t))) return empty
+    // AND: any absent term empties the result; OR: absent terms just drop out
+    if (conjunctive && terms.exists(t => !dfByTerm.contains(t))) return empty
+    if (dfByTerm.isEmpty) return empty
     val idfDf = broadcast(
       dfByTerm.keys.toSeq.sorted.map(t => (t, idf(numDocs, dfByTerm(t))))
         .toDF("term", "idf"))
@@ -77,7 +80,7 @@ object OracleBm25 {
       .agg(count(lit(1)).as("nTerms"),
         aggregate(sort_array(collect_list(struct($"term", $"s"))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
-      .filter($"nTerms" === terms.length)
+      .filter(if (conjunctive) $"nTerms" === terms.length else lit(true))
       .select("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)

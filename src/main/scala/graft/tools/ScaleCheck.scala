@@ -10,6 +10,9 @@ import graft.query.Searcher
   * scalable oracle (docIds from the engine's published docs table joined to
   * the raw corpus on the composite key).
   * Usage: runMain graft.tools.ScaleCheck <corpusDir> <indexDir> <cpus> <k> <query...>
+  * A query prefixed `or:` runs the DISJUNCTIVE path (searchOr — WAND pivoting
+  * + block-max pruning) against the OR-mode scalable oracle, proving pruning
+  * exactness where it matters: hot lists at scale with a risen θ.
   * Exits 3 on mismatch.
   */
 object ScaleCheck {
@@ -30,16 +33,20 @@ object ScaleCheck {
         Seq("repo", "path", "commit"))
       .select("docId", "content")
     var bad = false
-    for (q <- queries) {
+    for (raw <- queries) {
+      val or = raw.startsWith("or:")
+      val q = if (or) raw.stripPrefix("or:") else raw
       val t0 = System.nanoTime()
-      val got = searcher.search(q, k).collect().map(h => (h.docId, h.score))
+      val hits = if (or) searcher.searchOr(q, k) else searcher.search(q, k)
+      val got = hits.collect().map(h => (h.docId, h.score))
       val tq = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val want = OracleBm25.topKScalable(withId, q, k).collect()
-        .map(r => (r.getLong(0), r.getDouble(1)))
+      val want = OracleBm25.topKScalable(withId, q, k, conjunctive = !or)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
       val to = (System.nanoTime() - t1) / 1e9
       val ok = got.sameElements(want)
-      println(f"[scalecheck] '$q' k=$k engine=$tq%.2fs oracle=$to%.2fs -> " +
+      val mode = if (or) "OR" else "AND"
+      println(f"[scalecheck] $mode '$q' k=$k engine=$tq%.2fs oracle=$to%.2fs -> " +
         (if (ok) s"MATCH (${got.length} hits, rank-identical)" else "MISMATCH"))
       if (!ok) {
         println(s"  got  ${got.toSeq}\n  want ${want.toSeq}")
