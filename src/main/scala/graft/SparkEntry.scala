@@ -82,6 +82,20 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_agg_stats" -> ((s, dir) => {
+      // distribution statistics per group: exact percentiles (sort-based, the
+      // same p·(n-1) linear interpolation DuckDB's quantile_cont uses),
+      // sample stddev, mean — the profiling aggregation a corpus-QA pass runs
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 6).as("mean_v"),
+          round(stddev_samp("value"), 6).as("sd_v"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50_v"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95_v"))
+        .orderBy("event_type")
+    }),
+
     "q_keyinfo" -> ((s, dir) => {
       // KeyInfo run table (key, start_index, dup_cnt) — table_utils.cc:274-278
       t(s, dir, "orders")
@@ -655,6 +669,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |sum(l_quantity) AS sum_qty, round(sum(l_extendedprice), 4) AS sum_price
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_agg_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |round(avg(value), 6) AS mean_v,
+        |round(stddev_samp(value), 6) AS sd_v,
+        |round(quantile_cont(value, 0.5), 6) AS p50_v,
+        |round(quantile_cont(value, 0.95), 6) AS p95_v
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_keyinfo" ->
       """SELECT o_custkey AS key, min(o_orderkey) AS start_idx,
