@@ -239,8 +239,11 @@ object SparkEntry {
     }),
 
     "q_set_except" -> ((s, dir) => {
+      // customers minus open-order placers: the filter keeps the difference
+      // non-empty at every sf (an empty EXCEPT gate proves nothing)
       t(s, dir, "customer").select(col("c_custkey").as("key"))
-        .except(t(s, dir, "orders").select(col("o_custkey").as("key")))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("key")))
         .orderBy("key")
     }),
 
@@ -403,9 +406,12 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> ((s, dir) => {
       // corpus×corpus embedding near-dup, the LSH scale path of
       // q_embed_neardup (recall vs brute force asserted in OpsSpec);
-      // hyperplane codes are engine-specific → rows-only gate
+      // hyperplane codes are engine-specific → rows-only gate. τ=0.4 with
+      // 4-plane/8-table codes keeps per-pair recall ~0.75 and the found set
+      // non-empty at every sf (τ=0.5 had 0-1 true pairs below sf0.1 and the
+      // r2 gate recorded ZERO rows — vacuous)
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.5, numPlanes = 8, numTables = 6)
+        minCos = 0.4, numPlanes = 4, numTables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -756,7 +762,8 @@ object SparkEntry {
 
     "q_set_except" ->
       """SELECT c_custkey AS key FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY key""".stripMargin,
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY key""".stripMargin,
 
     "q_multiparty_intersect" ->
       """SELECT DISTINCT c_custkey AS key FROM customer
