@@ -46,7 +46,8 @@ object OracleBm25 {
     */
   def topKScalable(filesWithId: DataFrame, query: String, k: Int,
                    k1: Double = 1.2, b: Double = 0.75,
-                   conjunctive: Boolean = true): DataFrame = {
+                   conjunctive: Boolean = true,
+                   restrictTo: Option[DataFrame] = None): DataFrame = {
     val spark = filesWithId.sparkSession
     import spark.implicits._
     val terms = Tokenize.tokenize(query).distinct.sorted
@@ -76,7 +77,11 @@ object OracleBm25 {
         ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
           ($"tf".cast("double") +
             lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
-    scored.groupBy("docId")
+    // restriction (e.g. phrase-containing docs) applies AFTER the global
+    // stats (numDocs/avgdl/df) — the formula always uses corpus-wide stats
+    val restricted = restrictTo.fold(scored)(r =>
+      scored.join(r.select($"docId"), Seq("docId"), "left_semi"))
+    restricted.groupBy("docId")
       .agg(count(lit(1)).as("nTerms"),
         aggregate(sort_array(collect_list(struct($"term", $"s"))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
@@ -84,6 +89,34 @@ object OracleBm25 {
       .select("docId", "score")
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
+  }
+
+  /** Window-free phrase oracle for LARGE corpora: ordered-adjacency candidate
+    * docs via the posexplode join-chain (carried rows are only the PHRASE
+    * terms' positions, so the chain scales with phrase-term frequency, not
+    * corpus size), then the standard conjunctive scalable BM25 over the
+    * phrase's distinct terms restricted to those docs — identical semantics
+    * to [[topKPhrase]], identical determinism contract to [[topKScalable]].
+    */
+  def topKPhraseScalable(filesWithId: DataFrame, phrase: String, k: Int,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = filesWithId.sparkSession
+    import spark.implicits._
+    val tokens = Tokenize.tokenize(phrase).toSeq
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (tokens.isEmpty) return empty
+    val ptoks = filesWithId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+      .filter($"term".isin(tokens.distinct: _*))
+    var cand = ptoks.filter($"term" === tokens.head).select($"docId", $"ord")
+    tokens.zipWithIndex.drop(1).foreach { case (t, j) =>
+      val next = ptoks.filter($"term" === t)
+        .select($"docId".as("d2"), $"ord".as("o2"))
+      cand = cand.join(next, cand("docId") === $"d2" && $"o2" === cand("ord") + j)
+        .select(cand("docId"), cand("ord"))
+    }
+    topKScalable(filesWithId, tokens.distinct.sorted.mkString(" "), k, k1, b,
+      conjunctive = true, restrictTo = Some(cand.select("docId").distinct()))
   }
 
   /** Top-k AND query restricted to docs satisfying a metadata predicate. */

@@ -12,7 +12,9 @@ import graft.query.Searcher
   * Usage: runMain graft.tools.ScaleCheck <corpusDir> <indexDir> <cpus> <k> <query...>
   * A query prefixed `or:` runs the DISJUNCTIVE path (searchOr — WAND pivoting
   * + block-max pruning) against the OR-mode scalable oracle, proving pruning
-  * exactness where it matters: hot lists at scale with a risen θ.
+  * exactness where it matters: hot lists at scale with a risen θ. A query
+  * prefixed `phrase:` runs the positional path (searchPhrase; the index must
+  * be built with --positions) against the window-free phrase oracle.
   * Exits 3 on mismatch.
   */
 object ScaleCheck {
@@ -34,18 +36,24 @@ object ScaleCheck {
       .select("docId", "content")
     var bad = false
     for (raw <- queries) {
-      val or = raw.startsWith("or:")
-      val q = if (or) raw.stripPrefix("or:") else raw
+      val mode = if (raw.startsWith("or:")) "OR"
+                 else if (raw.startsWith("phrase:")) "PHRASE" else "AND"
+      val q = raw.stripPrefix("or:").stripPrefix("phrase:")
       val t0 = System.nanoTime()
-      val hits = if (or) searcher.searchOr(q, k) else searcher.search(q, k)
+      val hits = mode match {
+        case "OR"     => searcher.searchOr(q, k)
+        case "PHRASE" => searcher.searchPhrase(q, k)
+        case _        => searcher.search(q, k)
+      }
       val got = hits.collect().map(h => (h.docId, h.score))
       val tq = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val want = OracleBm25.topKScalable(withId, q, k, conjunctive = !or)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = (mode match {
+        case "PHRASE" => OracleBm25.topKPhraseScalable(withId, q, k)
+        case m        => OracleBm25.topKScalable(withId, q, k, conjunctive = m == "AND")
+      }).collect().map(r => (r.getLong(0), r.getDouble(1)))
       val to = (System.nanoTime() - t1) / 1e9
       val ok = got.sameElements(want)
-      val mode = if (or) "OR" else "AND"
       println(f"[scalecheck] $mode '$q' k=$k engine=$tq%.2fs oracle=$to%.2fs -> " +
         (if (ok) s"MATCH (${got.length} hits, rank-identical)" else "MISMATCH"))
       if (!ok) {
