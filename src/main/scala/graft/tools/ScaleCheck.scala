@@ -14,7 +14,10 @@ import graft.query.Searcher
   * + block-max pruning) against the OR-mode scalable oracle, proving pruning
   * exactness where it matters: hot lists at scale with a risen θ. A query
   * prefixed `phrase:` runs the positional path (searchPhrase; the index must
-  * be built with --positions) against the window-free phrase oracle.
+  * be built with --positions) against the window-free phrase oracle. A query
+  * prefixed `where:<sql-predicate>|` runs the metadata-filtered path
+  * (searchWhere) against the predicate-restricted scalable oracle, e.g.
+  * `where:lang = 'scala'|import def`.
   * Exits 3 on mismatch.
   */
 object ScaleCheck {
@@ -35,14 +38,23 @@ object ScaleCheck {
         Seq("repo", "path", "commit"))
       .select("docId", "content")
     var bad = false
+    val docsMeta = spark.read.parquet(s"$indexDir/docs.parquet")
     for (raw <- queries) {
       val mode = if (raw.startsWith("or:")) "OR"
-                 else if (raw.startsWith("phrase:")) "PHRASE" else "AND"
-      val q = raw.stripPrefix("or:").stripPrefix("phrase:")
+                 else if (raw.startsWith("phrase:")) "PHRASE"
+                 else if (raw.startsWith("where:")) "WHERE" else "AND"
+      val (pred, q) =
+        if (mode == "WHERE") {
+          val body = raw.stripPrefix("where:")
+          val i = body.indexOf('|')
+          require(i > 0, s"where: query needs '<predicate>|<query>', got '$raw'")
+          (body.take(i), body.drop(i + 1))
+        } else ("", raw.stripPrefix("or:").stripPrefix("phrase:"))
       val t0 = System.nanoTime()
       val hits = mode match {
         case "OR"     => searcher.searchOr(q, k)
         case "PHRASE" => searcher.searchPhrase(q, k)
+        case "WHERE"  => searcher.searchWhere(q, k, org.apache.spark.sql.functions.expr(pred))
         case _        => searcher.search(q, k)
       }
       val got = hits.collect().map(h => (h.docId, h.score))
@@ -50,6 +62,8 @@ object ScaleCheck {
       val t1 = System.nanoTime()
       val want = (mode match {
         case "PHRASE" => OracleBm25.topKPhraseScalable(withId, q, k)
+        case "WHERE"  => OracleBm25.topKScalable(withId, q, k, restrictTo =
+          Some(docsMeta.filter(org.apache.spark.sql.functions.expr(pred)).select("docId")))
         case m        => OracleBm25.topKScalable(withId, q, k, conjunctive = m == "AND")
       }).collect().map(r => (r.getLong(0), r.getDouble(1)))
       val to = (System.nanoTime() - t1) / 1e9
