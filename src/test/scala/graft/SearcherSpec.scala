@@ -96,6 +96,29 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("scalable OR and phrase oracles agree with the window oracles") {
+    // parity here is what makes ScaleCheck's or:/phrase: evidence trustworthy
+    val withId = files.join(
+      spark.read.parquet(s"$indexDir/docs.parquet")
+        .select("docId", "repo", "path", "commit"),
+      Seq("repo", "path", "commit"))
+      .select("docId", "content")
+    for (q <- Seq("import val", "util_3 zzqx_nothing", "import def class")) {
+      val a = OracleBm25.topKOr(files, q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val b = OracleBm25.topKScalable(withId, q, 10, conjunctive = false)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.toSeq == b.toSeq, s"OR oracles disagree on '$q'")
+    }
+    for (p <- Seq("import def", "def util_3", "import import")) {
+      val a = OracleBm25.topKPhrase(files, p, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val b = OracleBm25.topKPhraseScalable(withId, p, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.toSeq == b.toSeq, s"phrase oracles disagree on '$p'")
+    }
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "import val def class return"
     val all = OracleBm25.topK(files, q, Int.MaxValue - 1)
