@@ -55,17 +55,8 @@ object Bench {
     base.toString
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    import java.nio.file._
-    import java.util.Comparator
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    FsUtil.deleteRecursively(dir)
 
   private def session(cpus: Int, localDir: String): SparkSession = {
     val s = SparkSession.builder()
@@ -165,8 +156,15 @@ object Bench {
     def spreadTooHigh: Boolean = levels.exists { n =>
       val xs = raw(n); (xs.max - xs.min) / xs.min > 0.20
     }
+    // escalate only on the compute-bound 2→lowCpus pair and with a 5%
+    // tolerance: the lowCpus→cpus pair sits on the documented single-box
+    // memory-bandwidth wall where flat (±noise) is the EXPECTED shape, and a
+    // strict > there would push every run to the rep cap for no new evidence
     def nonMonotonic: Boolean =
-      levels.sliding(2).exists { case Seq(a, b) => best(b) > best(a); case _ => false }
+      levels.take(2) match {
+        case Seq(a, b) => best(b) > best(a) * 1.05
+        case _ => false
+      }
     (1 to reps).foreach(_ => runRep())
     while (raw(levels.head).size < maxReps && (spreadTooHigh || nonMonotonic))
       runRep()
@@ -290,11 +288,17 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","index_build":$idx,"scaling":$scaling}"""
-    // the artifact of record: a bare one-line JSON file the driver can read
-    // without scraping sbt [info]-prefixed stdout (r01 BENCH parsed: null)
-    Files.write(java.nio.file.Paths.get("/root/repo/BENCH.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // print FIRST (the driver scrapes stdout too) so a failed file write can
+    // never lose the measurements, then persist the artifact of record: a
+    // bare one-line JSON in the working directory (sbt forks in the repo
+    // root) the driver can read without scraping sbt [info]-prefixed stdout
+    // (r01 BENCH parsed: null)
     println(json)
+    try Files.write(
+      java.nio.file.Paths.get(sys.props("user.dir")).resolve("BENCH.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -27,12 +27,7 @@ object CorpusFixture {
 
   @volatile private var ready = false
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(Comparator.reverseOrder()).forEach(f => Files.deleteIfExists(f))
-      finally s.close()
-    }
+  private def deleteRecursively(p: Path): Unit = FsUtil.deleteRecursively(p)
 
   /** Build into `target.tmp`, then swap into place (delete stale target +
     * rename). The rename is atomic on a local filesystem; the delete→rename

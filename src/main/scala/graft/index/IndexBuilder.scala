@@ -496,9 +496,13 @@ object IndexBuilder {
     // twice (this verify pass, then the sort pass) and is assumed immutable
     // for the duration of the build — the same contract the reference's
     // pre-flight CsvChecker pass makes before its protocol run. Re-verified
-    // on every (re)attempt that still has indexing work to do.
-    val allDone = Seq("docs", "dlens", "postings", "dict").forall(stages.isDone)
-    if (cfg.verifySha && !allDone) verifyShaSidecar(spark, files, corpusDir, keyCols)
+    // on every (re)attempt that will still READ the corpus: only the docs
+    // and postings stages consume content (dlens/dict derive from committed
+    // artifacts), so a dict-only resume — which never touches the corpus —
+    // must not pay a full-corpus sha scan either.
+    val corpusStagesDone = Seq("docs", "postings").forall(stages.isDone)
+    if (cfg.verifySha && !corpusStagesDone)
+      verifyShaSidecar(spark, files, corpusDir, keyCols)
 
     // ONE global range sort of the full rows defines the docId order; docIds
     // are partition offsets + local position (no window, no join-back).
@@ -564,6 +568,19 @@ object IndexBuilder {
     // else re-aggregated from the committed docs artifact (narrow scans)
     val numDocs = if (numDocsFromSort >= 0) numDocsFromSort else docsDf.count()
     val nd = numDocs
+
+    // the docId order is "the TOTAL order of the unique composite key" — a
+    // duplicate key makes tie order attempt-dependent, so a kill+resume
+    // could bind docIds to different rows than the committed docs artifact.
+    // The staged build rejects dups up front; enforce the same here from the
+    // committed (narrow, content-free) docs table before postings publish.
+    if (!stages.isDone("postings")) {
+      val dups = docsDf.groupBy($"repo", $"path", $"commit")
+        .count().filter($"count" > 1).limit(1).count()
+      require(dups == 0,
+        "duplicate (repo, path, commit) composite keys in corpus — docId " +
+          "assignment would not be stable across resume attempts")
+    }
 
     stages.run("dlens") {
       docsDf

@@ -66,3 +66,20 @@ case class Hit(docId: Long, score: Double)
 case class PartitionManifest(stage: String, partition: Int, rows: Long,
                              postings: Long, bytesOut: Long, sha256: String,
                              elapsedMs: Long)
+
+/** Filesystem helpers shared by bench/fixture/scale tooling — one
+  * implementation of recursive delete (idempotent: `deleteIfExists`
+  * tolerates files vanishing mid-walk).
+  */
+object FsUtil {
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  def deleteRecursively(dir: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(dir))
+}

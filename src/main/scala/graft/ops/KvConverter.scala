@@ -33,7 +33,12 @@ object KvConverter {
     */
   def mergeLabels(df: DataFrame, keyCol: String,
                   labelCols: Seq[String]): DataFrame = {
-    val rowValue = concat_ws(ColumnDelimiter, labelCols.map(col): _*)
+    // concat_ws silently DROPS null arguments, which would shift the
+    // remaining labels into the wrong columns on extraction — coerce NULL to
+    // the empty string first (CSV semantics, same as the reference's
+    // file-based converter which has no NULL representation at all)
+    val rowValue = concat_ws(ColumnDelimiter,
+      labelCols.map(c => coalesce(col(c), lit(""))): _*)
     df.groupBy(col(keyCol).as("key"))
       .agg(
         array_join(sort_array(collect_list(rowValue)), RowDelimiter).as("value"),

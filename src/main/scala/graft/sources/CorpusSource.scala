@@ -73,15 +73,22 @@ object CorpusSource {
 
   /** The sha256 sidecar `(repo, path, commit, ref_sha256)` used by the
     * per-row content invariant. With an Iceberg corpus the sidecar location
-    * is its own table identifier under `spark.graft.source.refShaTable`;
-    * parquet mode keeps the `<location>/ref_sha.parquet` convention.
+    * is its own table identifier under `spark.graft.source.refShaTable`,
+    * pinnable via `spark.graft.source.refShaSnapshotId` /
+    * `refShaAsOfTimestamp` (its OWN snapshot — a different table than the
+    * corpus — so a mid-build sidecar rewrite cannot make the invariant check
+    * compare a pinned corpus against a moved sidecar); parquet mode keeps
+    * the `<location>/ref_sha.parquet` convention.
     */
   def readRefSha(spark: SparkSession, location: String): DataFrame =
     format(spark) match {
       case "iceberg" =>
         val table = conf(spark, "spark.graft.source.refShaTable")
           .getOrElse(sys.error("iceberg corpus needs spark.graft.source.refShaTable"))
-        spark.read.format("iceberg").load(table)
+        val opts = icebergReadOptions(
+          conf(spark, "spark.graft.source.refShaSnapshotId").map(_.toLong),
+          conf(spark, "spark.graft.source.refShaAsOfTimestamp").map(_.toLong))
+        spark.read.format("iceberg").options(opts).load(table)
       case _ => spark.read.parquet(s"$location/ref_sha.parquet")
     }
 }

@@ -89,9 +89,14 @@ object EventStream {
       // data batch (the watermark only advances at batch end), and
       // processAllAvailable doesn't wait for it — block until a committed
       // batch with zero input rows proves the eviction pass ran
-      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while ((q.lastProgress == null || q.lastProgress.numInputRows != 0) &&
              System.nanoTime() < deadline) Thread.sleep(50)
+      if (q.lastProgress == null || q.lastProgress.numInputRows != 0)
+        System.err.println("[sessionizeStream] WARNING: no zero-input " +
+          "micro-batch observed within 30 s — watermark eviction may not " +
+          "have run and the returned session set may be incomplete " +
+          "(is spark.sql.streaming.noDataMicroBatches.enabled=false?)")
     } finally q.stop()
     spark.table(name).orderBy("user_id", "sess_start")
   }

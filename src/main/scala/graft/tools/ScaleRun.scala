@@ -25,15 +25,8 @@ object ScaleRun {
     val cfg = IndexConfig(docsPerShard = 2048, buildPartitions = 64)
     // buildFast resumes from stage markers since r2 — a timing rep MUST
     // start from zero, so wipe any previous rep's artifacts first
-    for (d <- Seq(indexDir, s"$indexDir-warm")) {
-      val p = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(p)) {
-        val s = java.nio.file.Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-        finally s.close()
-      }
-    }
+    for (d <- Seq(indexDir, s"$indexDir-warm"))
+      graft.FsUtil.deleteRecursively(d)
     IndexBuilder.buildFast(spark, warmCorpusDir, s"$indexDir-warm", cfg)
     val t0 = System.nanoTime()
     IndexBuilder.buildFast(spark, corpusDir, indexDir, cfg)

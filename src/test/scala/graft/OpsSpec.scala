@@ -176,6 +176,14 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect().toSet
     assert(back == Set((1L, "s1", "p1"), (1L, "s2", "p2"), (2L, "s3", "p3")))
     assert(KvConverter.extractQuery(d, "key0").as[Long].collect().toSet == Set(1L, 2L))
+    // NULL labels must not shift neighbors into the wrong column on
+    // extraction (concat_ws silently drops nulls; mergeLabels coerces to "")
+    val dn = Seq((1L, null.asInstanceOf[String], "p1"), (2L, "s2", null.asInstanceOf[String]))
+      .toDF("key0", "l1", "l2")
+    val backN = KvConverter.extractResult(
+      KvConverter.mergeLabels(dn, "key0", Seq("l1", "l2")), "key0", Seq("l1", "l2"))
+      .as[(Long, String, String)].collect().toSet
+    assert(backN == Set((1L, "", "p1"), (2L, "s2", "")))
   }
 
   test("token counts and quality features are sane") {
