@@ -386,6 +386,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs → connected components → canonical (min-id) cluster per doc:
+      // the keep-one step after pair finding; oracle = recursive closure
+      Dedup.clusterAssignments(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minJaccard = 0.2, maxShingleDf = 200))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       // VERIFIED output gated against the exact-Jaccard oracle: at these
       // params (16 bands × 2 rows) every pair with J ≥ 0.5 lands in some
@@ -910,6 +920,29 @@ object SparkEntry {
         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    // connected components over the ngram pair graph via recursive closure
+    // (same pair CTEs as q_dedup_ngram); cluster = min reachable doc id
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+        |  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc, shingle FROM (
+        |  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+        |) WHERE shingle IS NOT NULL),
+        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200),
+        |shr AS (SELECT doc, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+        |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+        |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT src AS id, dst AS r FROM edges
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -252,4 +252,47 @@ object Dedup {
         cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  /** Connected-component cluster ids over a near-duplicate PAIR set — the
+    * keep-one step every dedup pipeline runs after pair finding: each doc in
+    * a pair gets `cluster` = the minimum id reachable through the pair graph,
+    * so `filter(id === cluster)` keeps exactly one canonical doc per group.
+    *
+    * Iterative min-label propagation (HashMin), the standard distributed CC:
+    * one equi-join + one min-aggregation per round (2 shuffles), rounds
+    * bounded by the graph diameter — near-dup groups are quasi-cliques, so
+    * convergence is typically 2-3 rounds; `maxIters` caps pathological
+    * chains and the early-exit check stops as soon as no label moves.
+    * Each generation is persisted and its predecessor unpersisted, so the
+    * working set per round is the (id, cluster) frame — never the documents.
+    */
+  def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
+                         bCol: String = "doc_b",
+                         maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .persist()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.cluster") =!= col("l.cluster"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

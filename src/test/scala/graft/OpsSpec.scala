@@ -80,6 +80,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 3L && p._2 == 200L))
   }
 
+  test("clusterAssignments: min-label CC over pairs, incl. a deep chain") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterAssignments(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // planted dups in the docs fixture: 0~100 and 5~101 → two 2-clusters
+    val real = Dedup.clusterAssignments(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, maxShingleDf = 1000))
+      .as[(Long, Long)].collect().toMap
+    assert(real(100L) == 0L && real(101L) == 5L)
+  }
+
   test("brute-force ANN top-k is exact and deterministic") {
     val q = vecs.filter($"vec_id" === 3L)
     val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
