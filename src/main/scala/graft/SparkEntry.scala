@@ -396,6 +396,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q_split_leakfree" -> ((s, dir) => {
+      // cluster-aware train/val/test split: near-dup cluster members share a
+      // split (contamination prevention); split = sha256(cluster) hex bucket
+      Dedup.leakFreeSplit(t(s, dir, "documents"), "doc_id",
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, minJaccard = 0.2, maxShingleDf = 200))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash_lsh" -> ((s, dir) => {
       // VERIFIED output gated against the exact-Jaccard oracle: at these
       // params (16 bands × 2 rows) every pair with J ≥ 0.5 lands in some
@@ -943,6 +954,37 @@ object SparkEntry {
         |reach AS (SELECT src AS id, dst AS r FROM edges
         |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // cluster-aware split oracle: the recursive-closure clusters LEFT-joined
+    // to all docs (singletons = own cluster), split by the first sha256 hex
+    // byte of the cluster id — identical string both engines
+    "q_split_leakfree" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok,
+        |  generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS ord
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc, shingle FROM (
+        |  SELECT doc, tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY ord)
+        |) WHERE shingle IS NOT NULL),
+        |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 200),
+        |shr AS (SELECT doc, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle),
+        |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+        |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc < b.doc GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON doc_a = sa.doc JOIN sizes sb ON doc_b = sb.doc
+        |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT src AS id, dst AS r FROM edges
+        |  UNION SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+        |assigned AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substr(sha256(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM assigned ORDER BY doc_id""".stripMargin,
 
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -295,4 +295,27 @@ object Dedup {
     edges.unpersist()
     labels
   }
+
+  /** Leakage-free train/val/test split: every member of a near-dup cluster
+    * lands in the SAME split (assigning by raw doc id would leak near-copies
+    * of training docs into eval — the canonical contamination bug in
+    * training-data pipelines). Docs outside any pair are their own cluster.
+    *
+    * The split is a pure function of the CLUSTER id — first hex byte of
+    * sha256(cluster): < 'cc' (204/256 ≈ 80%) → train, < 'e6' (230/256 ≈ 90%)
+    * → val, else test — so it is deterministic, engine-independent (the
+    * DuckDB oracle computes the identical sha256 string), and adding docs
+    * never reshuffles existing assignments. One broadcast-or-shuffle left
+    * join against the (small) cluster table; no other data movement.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String,
+                    pairs: DataFrame): DataFrame = {
+    val clusters = clusterAssignments(pairs)
+    val byte0 = substring(sha2(col("cluster").cast("string"), 256), 1, 2)
+    docs.select(col(idCol).as("id"))
+      .join(clusters, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("split",
+        when(byte0 < "cc", "train").when(byte0 < "e6", "val").otherwise("test"))
+  }
 }

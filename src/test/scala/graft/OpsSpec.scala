@@ -96,6 +96,22 @@ class OpsSpec extends AnyFunSuite {
     assert(real(100L) == 0L && real(101L) == 5L)
   }
 
+  test("leakFreeSplit: cluster members share a split; ratios are sane") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxShingleDf = 1000)
+    val split = Dedup.leakFreeSplit(docs, "doc_id", pairs)
+      .as[(Long, Long, String)].collect()
+    assert(split.length == docs.count())
+    // every cluster maps to exactly one split — no near-dup leakage
+    split.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c split across sets")
+    }
+    // planted dup pairs co-assigned
+    val byId = split.map(r => r._1 -> r._3).toMap
+    assert(byId(0L) == byId(100L) && byId(5L) == byId(101L))
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("brute-force ANN top-k is exact and deterministic") {
     val q = vecs.filter($"vec_id" === 3L)
     val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 3)
