@@ -28,7 +28,9 @@ object PsiSpark {
     openIndex(spark, indexDir)
   }
 
-  /** Fused fast-path build (throughput mode, no resume). */
+  /** Fused fast-path build (throughput mode; per-artifact resumable since
+    * r2 — a kill mid-build restarts from the last committed artifact).
+    */
   def buildIndexFast(spark: SparkSession, corpusDir: String, indexDir: String,
                      cfg: IndexConfig = IndexConfig()): IndexHandle = {
     IndexBuilder.buildFast(spark, corpusDir, indexDir, cfg)

@@ -424,6 +424,29 @@ object SparkEntry {
         .orderBy("doc")
     }),
 
+    "q_dedup_simhash_dups" -> ((s, dir) => {
+      // hash-checked DERIVED gate for the (engine-specific-hash) SimHash
+      // pipeline: the corpus is augmented with constructed exact duplicates
+      // (every 10th doc copied under id+1_000_000 — the base table has no
+      // exact dups, which would make a sha-equal restriction vacuous), and
+      // simhashPairs restricted to sha-equal pairs must equal EXACTLY the
+      // constructed dup-pair set: identical text → identical token stream →
+      // identical simhash → every Manku band key equal → candidate found at
+      // dist 0. Recall-at-distance-0 is thereby oracle-checkable even though
+      // the xxhash64-based simhash values themselves are not.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val sha = aug.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      Dedup.simhashPairs(aug, "doc_id", "text")
+        .join(sha.select(col("doc_id").as("doc_a"), col("sha").as("sha_a")), "doc_a")
+        .join(sha.select(col("doc_id").as("doc_b"), col("sha").as("sha_b")), "doc_b")
+        .filter(col("sha_a") === col("sha_b"))
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q_embed_neardup_lsh" -> ((s, dir) => {
       // corpus×corpus embedding near-dup, the LSH scale path of
       // q_embed_neardup (recall vs brute force asserted in OpsSpec);
@@ -531,6 +554,15 @@ object SparkEntry {
     // ------------------------------------------------------------ streaming
     "q_stream_window" -> ((s, dir) => {
       EventStream.windowedEventAgg(s, dir)
+        .withColumn("win_start", col("win_start").cast("long"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    "q_stream_window_append" -> ((s, dir) => {
+      // append-mode + watermark-eviction twin of q_stream_window — the
+      // bounded-state scale shape; emits exactly the windows the final
+      // watermark (max ts - 10 min) closed, oracle restricted identically
+      EventStream.windowedEventAggAppend(s, dir)
         .withColumn("win_start", col("win_start").cast("long"))
         .orderBy("win_start", "event_type")
     }),
@@ -1071,6 +1103,17 @@ object SparkEntry {
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // SimHash recall-at-distance-0: constructed exact dups (same augmentation
+    // as the Spark side) must ALL be recovered by the banded pair join
+    "q_dedup_simhash_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS dist
+        |FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1084,6 +1127,18 @@ object SparkEntry {
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
         |event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    // append-mode twin: the same windows restricted to those the final
+    // watermark (max ts - 10 min) has CLOSED — Spark evicts/emits a window
+    // when window.end <= watermark (same predicate EventStreamSpec pins for
+    // session windows)
+    "q_stream_window_append" ->
+      """SELECT win_start, event_type, n_events, sum_value FROM (
+        |  SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS win_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |WHERE win_start + 300 <= (SELECT epoch(max(ts)) - 600 FROM events)
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q_stream_users" ->
       """SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,

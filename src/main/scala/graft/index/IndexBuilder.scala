@@ -612,6 +612,20 @@ object IndexBuilder {
     // Token-level rows then cross exactly ONE exchange: the (term, shard)
     // range partition that is also the final published sort order.
     stages.run("postings") {
+      // resume consistency: a resumed postings stage re-derives docIds from a
+      // fresh sort of the CURRENT corpus while composing with the COMMITTED
+      // docs artifact — if the corpus gained or lost rows between attempts
+      // (verifySha off, or sidecar rewritten in lockstep) the two would
+      // silently disagree. The sort is materialized either way, so comparing
+      // its row count against the committed docs.parquet count is free.
+      if (stages.skippedStages.contains("docs")) {
+        withId // force the sort so numDocsFromSort is populated
+        require(numDocsFromSort == numDocs,
+          s"corpus changed between build attempts: committed docs.parquet " +
+            s"has $numDocs rows but this attempt's corpus sort yields " +
+            s"$numDocsFromSort — delete the index dir (or restore the " +
+            "original corpus) and rebuild")
+      }
       if (!cfg.positions) {
         withId
           .select($"docId", $"content")

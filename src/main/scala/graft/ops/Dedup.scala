@@ -258,41 +258,71 @@ object Dedup {
     * a pair gets `cluster` = the minimum id reachable through the pair graph,
     * so `filter(id === cluster)` keeps exactly one canonical doc per group.
     *
-    * Iterative min-label propagation (HashMin), the standard distributed CC:
-    * one equi-join + one min-aggregation per round (2 shuffles), rounds
-    * bounded by the graph diameter — near-dup groups are quasi-cliques, so
-    * convergence is typically 2-3 rounds; `maxIters` caps pathological
-    * chains and the early-exit check stops as soon as no label moves.
-    * Each generation is persisted and its predecessor unpersisted, so the
-    * working set per round is the (id, cluster) frame — never the documents.
+    * Min-label propagation (HashMin) PLUS a pointer-jumping step per round:
+    * propagation moves the min one hop (join on edges + min-agg), then
+    * `label(id) := min(label(id), label(label(id)))` doubles the reach —
+    * so rounds scale with log2(diameter), not diameter, and the default
+    * `maxIters = 25` covers any component up to ~2^24 hops across (web-scale
+    * boilerplate chains included). Labels are always ids of REACHABLE
+    * vertices and only decrease, so the fixed point is exactly min-reachable.
+    * 3 shuffles per round; each generation is persisted and its predecessor
+    * unpersisted, so the working set per round is the (id, cluster) frame —
+    * never the documents.
+    *
+    * Fails LOUDLY if the loop exits without convergence: silently returning
+    * partially-propagated labels would split one near-dup cluster across
+    * several — and a `leakFreeSplit` built on it would leak near-copies
+    * across train/eval, the exact contamination it exists to prevent.
+    *
+    * Each generation is CHECKPOINTED (reliable `checkpoint` when the session
+    * has a checkpoint dir, else `localCheckpoint`): an iterative self-joining
+    * plan otherwise doubles its logical tree every round — by ~round 7 the
+    * plan alone OOMs the driver. Checkpointing re-roots the plan on the
+    * materialized generation, the standard treatment for iterative graph
+    * algorithms on Spark (GraphX/GraphFrames do the same internally).
     */
   def clusterAssignments(pairs: DataFrame, aCol: String = "doc_a",
                          bCol: String = "doc_b",
                          maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    def snapshot(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
-      .persist()
+    var labels = snapshot(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("cluster"))
-      val next = labels.unionByName(prop)
+      val hashMin = labels.unionByName(prop)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
         .persist()
+      // pointer jump: a label is itself a reachable vertex id, so its own
+      // label is reachable too — taking the min squares the horizon
+      val next = snapshot(hashMin.as("a")
+        .join(hashMin.as("b"), col("a.cluster") === col("b.id"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.cluster"),
+            coalesce(col("b.cluster"), col("a.cluster"))).as("cluster")))
       converged = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.cluster") =!= col("l.cluster"))
         .isEmpty
+      hashMin.unpersist()
       labels.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
+    require(converged,
+      s"cluster label propagation did not converge within $maxIters rounds " +
+        "(component diameter > ~2^" + (maxIters - 1) + ") — refusing to " +
+        "return partially-merged clusters; raise maxIters")
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** APSI key-value converter — the Spark analog of the reference's
@@ -36,9 +36,22 @@ object KvConverter {
     // concat_ws silently DROPS null arguments, which would shift the
     // remaining labels into the wrong columns on extraction — coerce NULL to
     // the empty string first (CSV semantics, same as the reference's
-    // file-based converter which has no NULL representation at all)
-    val rowValue = concat_ws(ColumnDelimiter,
-      labelCols.map(c => coalesce(col(c), lit(""))): _*)
+    // file-based converter which has no NULL representation at all).
+    // A label CONTAINING a delimiter byte would silently corrupt the merged
+    // value and shift columns on extraction — the reference's CSV domain
+    // implicitly excludes 0x1E/0x1F, but an arbitrary Spark string column
+    // does not, so fail loudly AT MERGE TIME via a codegen'd raise_error
+    // guard (no extra driver-side validation pass; the check rides the same
+    // projection).
+    def checked(c: String): Column = {
+      val v = coalesce(col(c), lit(""))
+      when(v.contains(ColumnDelimiter) || v.contains(RowDelimiter),
+        raise_error(concat(
+          lit(s"KvConverter: label column '$c' contains a reserved APSI " +
+            "delimiter byte (0x1E/0x1F) in value: "), v)))
+        .otherwise(v)
+    }
+    val rowValue = concat_ws(ColumnDelimiter, labelCols.map(checked): _*)
     df.groupBy(col(keyCol).as("key"))
       .agg(
         array_join(sort_array(collect_list(rowValue)), RowDelimiter).as("value"),

@@ -26,7 +26,8 @@ import graft.index.{Codec, IndexBuilder, IndexMeta, Tokenize}
   * the WAND/BMW idea applied to the conjunctive traversal.
   */
 class Searcher(spark: SparkSession, indexDir: String,
-               deltaDirs: Seq[String] = Nil) {
+               deltaDirs: Seq[String] = Nil,
+               termCacheCap: Int = Searcher.DefaultTermCacheCap) {
   import spark.implicits._
 
   private val allDirs = indexDir +: deltaDirs
@@ -75,24 +76,41 @@ class Searcher(spark: SparkSession, indexDir: String,
     * UNSEEN terms, reading only the (term, shard, n) metadata columns of the
     * postings parquet with `term IN (...)` pushed to the scan; repeat
     * queries over known terms launch no dictionary job at all.
+    *
+    * Bounded LRU (access-order, cap `termCacheCap`, default 1M entries):
+    * a long-lived query service over an adversarial/unbounded query stream
+    * must not grow the driver heap without limit; an evicted term simply
+    * pays one metadata scan again. Entry cost ~100 B → the default cap is
+    * ~100 MB worst case.
     */
-  private val termInfoCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Searcher.TermInfo]()
+  private val termInfoCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Searcher.TermInfo](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Searcher.TermInfo]): Boolean =
+        size() > termCacheCap
+    })
+
+  private[graft] def termCacheSize: Int = termInfoCache.size()
 
   private def lookupTerms(terms: Seq[String]): Map[String, Searcher.TermInfo] = {
-    val missing = terms.filterNot(termInfoCache.containsKey)
-    if (missing.nonEmpty) {
+    // snapshot hits locally — never re-read the cache after the puts below,
+    // so a concurrent eviction between put and re-get cannot surface a null
+    val found = terms.flatMap(t => Option(termInfoCache.get(t)).map(t -> _)).toMap
+    val missing = terms.filterNot(found.contains)
+    if (missing.isEmpty) found
+    else {
       val rows = postings.filter($"term".isin(missing: _*))
         .select($"term", $"shard", $"n".cast("long"))
         .as[(String, Int, Long)].collect()
       val byTerm = rows.groupBy(_._1)
-      missing.foreach { t =>
+      val fetched = missing.map { t =>
         val rs = byTerm.getOrElse(t, Array.empty[(String, Int, Long)])
-        termInfoCache.put(t,
-          Searcher.TermInfo(rs.map(_._3).sum, rs.map(_._2).distinct.sorted))
-      }
+        val info = Searcher.TermInfo(rs.map(_._3).sum, rs.map(_._2).distinct.sorted)
+        termInfoCache.put(t, info)
+        t -> info
+      }.toMap
+      found ++ fetched
     }
-    terms.map(t => t -> termInfoCache.get(t)).toMap
   }
 
   // query metrics (north-rule lineage/metrics requirement)
@@ -383,6 +401,9 @@ class Searcher(spark: SparkSession, indexDir: String,
 }
 
 object Searcher {
+
+  /** Default bound on the driver-side term-metadata LRU (~100 B/entry). */
+  val DefaultTermCacheCap: Int = 1 << 20
 
   /** Synthetic "term" carrying a metadata filter's docId list through the
     * intersection kernel (searchWhere). The leading space (0x20) sorts

@@ -54,6 +54,40 @@ object EventStream {
       .orderBy("win_start", "event_type")
   }
 
+  /** The APPEND-MODE twin of [[windowedEventAgg]] — the shape that scales:
+    * complete-mode + memory sink re-emits (and driver-holds) the ENTIRE
+    * aggregate every batch, fine only as a local smoke gate; append mode +
+    * watermark EVICTS each window's state once the watermark passes its end
+    * and emits it exactly once, so state is bounded by the watermark horizon
+    * regardless of stream length — the 100 TB/unbounded-stream design.
+    * Windows still open at end-of-input (end > final watermark = max ts -
+    * delay) are absent by design; EventStreamSpec pins the closed-set
+    * predicate against the batch result, and the driver gate's oracle
+    * applies the same restriction in SQL.
+    */
+  def windowedEventAggAppend(spark: SparkSession, sfDir: String,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val agg = readEvents(spark, sfDir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    val name = s"stream_events_append_${counter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      awaitEvictionBatch(q, "windowedEventAggAppend")
+    } finally q.stop()
+    spark.table(name)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Gap-based sessionization with the native `session_window` operator:
     * events of a user belong to one session while each is < `gap` after the
     * previous; session end = last event + gap (Spark merged-session
@@ -89,16 +123,27 @@ object EventStream {
       // data batch (the watermark only advances at batch end), and
       // processAllAvailable doesn't wait for it — block until a committed
       // batch with zero input rows proves the eviction pass ran
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while ((q.lastProgress == null || q.lastProgress.numInputRows != 0) &&
-             System.nanoTime() < deadline) Thread.sleep(50)
-      if (q.lastProgress == null || q.lastProgress.numInputRows != 0)
-        System.err.println("[sessionizeStream] WARNING: no zero-input " +
-          "micro-batch observed within 30 s — watermark eviction may not " +
-          "have run and the returned session set may be incomplete " +
-          "(is spark.sql.streaming.noDataMicroBatches.enabled=false?)")
+      awaitEvictionBatch(q, "sessionizeStream")
     } finally q.stop()
     spark.table(name).orderBy("user_id", "sess_start")
+  }
+
+  /** Block until a committed micro-batch with ZERO input rows proves the
+    * append-mode watermark-eviction pass ran. THROWS on timeout instead of
+    * returning: a silently incomplete session/window set would make a
+    * downstream hash-compare fail confusingly — or worse, pass vacuously on
+    * an empty result.
+    */
+  private def awaitEvictionBatch(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                 who: String, timeoutSec: Int = 30): Unit = {
+    val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
+    while ((q.lastProgress == null || q.lastProgress.numInputRows != 0) &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    if (q.lastProgress == null || q.lastProgress.numInputRows != 0)
+      throw new IllegalStateException(s"[$who] no zero-input micro-batch " +
+        s"observed within $timeoutSec s — watermark eviction did not run, " +
+        "the emitted result would be incomplete " +
+        "(is spark.sql.streaming.noDataMicroBatches.enabled=false?)")
   }
 
   private def sessionAgg(events: DataFrame, gap: String): DataFrame =

@@ -73,6 +73,23 @@ class EventStreamSpec extends AnyFunSuite {
       s"streamed sessions must equal the watermark-closed batch set: $stream vs $closed")
   }
 
+  test("tumbling windows: append-mode stream == batch restricted to watermark-closed windows") {
+    val batch = EventStream.windowedEventAgg(spark, eventsDir)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val append = EventStream.windowedEventAggAppend(spark, eventsDir)
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // final watermark = max ts - 10 min; append emits windows with
+    // end (= start + 5 min) <= watermark — same predicate as session windows
+    val maxTs = ts(48.0).getTime
+    val closed = batch.filter(_._1.getTime + 5 * 60 * 1000L <=
+      maxTs - 10 * 60 * 1000L)
+    assert(closed.nonEmpty && closed != batch,
+      "fixture must have both closed and open windows")
+    assert(append == closed,
+      s"append-mode windows must equal the watermark-closed batch set: " +
+        s"${append.size} vs ${closed.size}")
+  }
+
   test("flatMapGroupsWithState running totals == batch groupBy") {
     val got = EventStream.statefulUserTotals(spark, eventsDir)
       .as[(Long, Long, Double)].collect().toSet

@@ -96,6 +96,21 @@ class OpsSpec extends AnyFunSuite {
     assert(real(100L) == 0L && real(101L) == 5L)
   }
 
+  test("clusterAssignments: pointer jumping converges on a 40-deep chain; capped run fails loudly") {
+    // a chain is the worst case for plain HashMin (one hop/round); pointer
+    // jumping covers it in ~log2(diameter) rounds
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterAssignments(chain).as[(Long, Long)].collect()
+    assert(got.length == 40 && got.forall(_._2 == 0L))
+    // an insufficient iteration budget must THROW, never silently return
+    // partially-merged clusters (r2 verdict: the silent-wrong-split bug)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.clusterAssignments(chain, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("leakFreeSplit: cluster members share a split; ratios are sane") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       k = 3, minJaccard = 0.5, maxShingleDf = 1000)
@@ -216,6 +231,16 @@ class OpsSpec extends AnyFunSuite {
       KvConverter.mergeLabels(dn, "key0", Seq("l1", "l2")), "key0", Seq("l1", "l2"))
       .as[(Long, String, String)].collect().toSet
     assert(backN == Set((1L, "", "p1"), (2L, "s2", "")))
+    // a label CONTAINING a delimiter byte would corrupt the merged value and
+    // shift columns on extraction — must fail loudly AT MERGE TIME
+    val bad = Seq((1L, "fine", "oops\u001einjected"))
+      .toDF("key0", "l1", "l2")
+    val ex = intercept[Exception] {
+      KvConverter.mergeLabels(bad, "key0", Seq("l1", "l2")).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(ex).contains("delimiter"))
   }
 
   test("token counts and quality features are sane") {

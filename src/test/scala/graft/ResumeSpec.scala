@@ -124,6 +124,28 @@ class ResumeSpec extends AnyFunSuite {
     assert(!tracker.isDone("docs"))
   }
 
+  test("resume with a CHANGED corpus fails loudly (corpus-vs-artifact consistency)") {
+    import spark.implicits._
+    val dir = s"${TestSpark.workDir}/drift_corpus"
+    val rows = (0 until 20).map(i =>
+      FileRow("r", f"p$i%03d", "c", "scala", s"alpha beta doc$i"))
+    rows.toDF().write.mode("overwrite").parquet(s"$dir/files.parquet")
+    val cfg = IndexConfig(docsPerShard = 8, verifySha = false)
+    // commit docs + dlens, stop before postings (simulated crash)
+    val stopped = IndexBuilder.buildFast(spark, dir, s"$dir/idx",
+      cfg.copy(stopAfterStage = "dlens"))
+    assert(stopped == null)
+    // the corpus gains a row between attempts (verifySha off, so the sha
+    // sidecar cannot catch it) — the resumed postings stage would bind
+    // different docIds than the committed docs artifact
+    (rows :+ FileRow("r", "zzz", "c", "scala", "gamma delta")).toDF()
+      .write.mode("overwrite").parquet(s"$dir/files.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.buildFast(spark, dir, s"$dir/idx", cfg)
+    }
+    assert(ex.getMessage.contains("corpus changed"))
+  }
+
   test("corpus rejects duplicate composite keys") {
     import spark.implicits._
     val dir = s"${TestSpark.workDir}/dup_corpus"

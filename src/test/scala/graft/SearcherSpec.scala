@@ -47,6 +47,18 @@ class SearcherSpec extends AnyFunSuite {
         "the hot list was walked, not skipped")
   }
 
+  test("term-info cache is LRU-bounded and eviction does not change results") {
+    val tiny = new Searcher(spark, indexDir, termCacheCap = 3)
+    val baseline = got(tiny.search("import val", 5))
+    // touch more distinct terms than the cap
+    Seq("def", "class", "return", "if", "object", "util_3", "util_7")
+      .foreach(t => tiny.search(t, 1).collect())
+    assert(tiny.termCacheSize <= 3,
+      s"cache grew to ${tiny.termCacheSize} past cap 3")
+    // evicted terms simply re-fetch; answers are unchanged
+    assert(got(tiny.search("import val", 5)).toSeq == baseline.toSeq)
+  }
+
   test("AND result is a subset of OR result universe; OR ⊇ AND scores") {
     val and = got(searcher.search("import val", 200)).toMap
     val or = got(searcher.searchOr("import val", 10000)).toMap
