@@ -32,7 +32,12 @@ case class IndexConfig(docsPerShard: Int = 1 << 12,
                        b: Double = 0.75,
                        verifySha: Boolean = true,
                        stopAfterStage: String = "",
-                       positions: Boolean = false) {
+                       positions: Boolean = false,
+                       partitionedResume: Boolean = false) {
+  // partitionedResume is NOT part of the fingerprint: it changes only the
+  // recovery granularity of the postings stage (per reduce partition vs per
+  // artifact), never the published index content, so artifacts from the two
+  // modes compose across resume attempts
   def fingerprint: String =
     CorpusFp.sha(s"v2|$docsPerShard|$k1|$b|$verifySha|$positions")
 }
@@ -439,6 +444,84 @@ object IndexBuilder {
     meta
   }
 
+  /** Group consecutive (term, shard)-sorted tf rows into compressed posting
+    * segments — the reduce-side encode kernel of the fast build, shared by
+    * the direct-parquet and per-partition-parts write paths.
+    */
+  private def encodeSegments(it: Iterator[(String, Long, Int, Int, Int)],
+      k1: Double, b: Double, avgdl: Double,
+      counter: org.apache.spark.util.LongAccumulator): Iterator[PostingSeg] = {
+    val buf = it.buffered
+    new Iterator[PostingSeg] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): PostingSeg = {
+        if (counter != null) counter.add(1)
+        val (term, _, _, _, shard) = buf.head
+        val docs = Array.newBuilder[Long]
+        val tfs = Array.newBuilder[Int]
+        val dls = Array.newBuilder[Int]
+        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+          val (_, d, f, dl, _) = buf.next()
+          docs += d; tfs += f; dls += dl
+        }
+        val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+        Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
+      }
+    }
+  }
+
+  /** Positional twin of [[encodeSegments]]. */
+  private def encodeSegmentsP(it: Iterator[(String, Long, Int, Int, Int, Array[Int])],
+      k1: Double, b: Double, avgdl: Double,
+      counter: org.apache.spark.util.LongAccumulator): Iterator[PostingSegP] = {
+    val buf = it.buffered
+    new Iterator[PostingSegP] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): PostingSegP = {
+        if (counter != null) counter.add(1)
+        val (term, _, _, _, shard, _) = buf.head
+        val docs = Array.newBuilder[Long]
+        val tfs = Array.newBuilder[Int]
+        val dls = Array.newBuilder[Int]
+        val poss = Array.newBuilder[Array[Int]]
+        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
+          val (_, d, f, dl, _, ps) = buf.next()
+          docs += d; tfs += f; dls += dl; poss += ps
+        }
+        val da = docs.result(); val fa = tfs.result(); val la = dls.result()
+        Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
+          Codec.encodePositions(poss.result()))
+      }
+    }
+  }
+
+  /** Convert the committed per-partition part files into the published
+    * postings.parquet. One part file per task (repartition of n paths into n
+    * round-robin partitions), so each output parquet file holds whole
+    * hash-partitions of (term, shard) groups — preserving the term→file
+    * routing the query scan prunes on. Parts are deleted after the publish
+    * (transient recovery artifacts; a crash in the tiny window between
+    * publish and the stage marker just re-encodes once — still correct).
+    */
+  private def publishFromParts(spark: SparkSession, indexDir: String,
+      partsDir: String, numParts: Int, positional: Boolean): Unit = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val committed = PartStore.listCommitted(partsDir, conf)
+    require(committed == (0 until numParts).toSet,
+      s"postings parts incomplete: ${committed.size} of $numParts committed")
+    val files = (0 until numParts).map(pid => PartStore.partPath(partsDir, pid))
+    val ds = spark.createDataset(files).repartition(files.size)
+    if (!positional)
+      ds.mapPartitions(_.flatMap(PartStore.readPart))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    else
+      ds.mapPartitions(_.flatMap(PartStore.readPartP))
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    val p = new org.apache.hadoop.fs.Path(partsDir)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
   /** Fast-path build: the same logical pipeline with fused stages and the
   * minimum data movement. This is the throughput configuration; since r2 it
   * is ALSO resumable: each published artifact (docs, dlens, postings, dict)
@@ -448,6 +531,14 @@ object IndexBuilder {
   * finished artifact instead of zero (reference mid-stream resume analog:
   * psi/algorithm/rr22/receiver.cc:106-109; checkpoint stages,
   * psi/checkpoint/checkpoint.proto:8-43).
+  *
+  * `partitionedResume = true` refines the granularity INSIDE the postings
+  * stage (60-80% of build wall time at scale): each reduce partition's
+  * encoded segments commit independently (PartStore, atomic rename), a
+  * resumed attempt re-encodes only missing partitions, and a publish pass
+  * converts the parts to the final parquet — the reference's bucket-index
+  * resume, at the cost of one extra write+read of the compressed postings
+  * (why it is opt-in; the direct path stays the throughput default).
   *
   * Resume correctness: docIds are the rank in the TOTAL order of the unique
   * composite key (repo, path, commit) — partition offsets + local position
@@ -627,7 +718,7 @@ object IndexBuilder {
             "original corpus) and rebuild")
       }
       if (!cfg.positions) {
-        withId
+        val sortedTf = withId
           .select($"docId", $"content")
           .as[(Long, String)]
           .mapPartitions { it =>
@@ -654,31 +745,35 @@ object IndexBuilder {
           // to exactly one file either way
           .repartition(P, $"term", $"shard")
           .sortWithinPartitions($"term", $"shard", $"docId")
-          .mapPartitions { it =>
-            val buf = it.buffered
-            new Iterator[PostingSeg] {
-              def hasNext: Boolean = buf.hasNext
-              def next(): PostingSeg = {
-                segCounter.add(1)
-                val (term, _, _, _, shard) = buf.head
-                val docs = Array.newBuilder[Long]
-                val tfs = Array.newBuilder[Int]
-                val dls = Array.newBuilder[Int]
-                while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-                  val (_, d, f, dl, _) = buf.next()
-                  docs += d; tfs += f; dls += dl
-                }
-                val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-                Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
-              }
-            }
+        if (!cfg.partitionedResume) {
+          sortedTf
+            .mapPartitions(encodeSegments(_, k1, b, avgdl, segCounter))
+            .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+        } else {
+          // per-partition committed parts + publish — see PartStore; the
+          // hash partitioning is attempt-deterministic, so a resumed reduce
+          // task for a committed pid skips encoding entirely
+          val partsDir = s"$indexDir/_postings_parts"
+          val committed = spark.sparkContext.broadcast(
+            PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
+          if (committed.value.nonEmpty)
+            System.err.println(s"[buildFast] partitioned resume: " +
+              s"${committed.value.size}/$P postings partitions already " +
+              "committed — re-encoding only the rest")
+          sortedTf.foreachPartition { (it: Iterator[(String, Long, Int, Int, Int)]) =>
+            val tc = TaskContext.get()
+            if (!committed.value.contains(tc.partitionId()))
+              PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
+                encodeSegments(it, k1, b, avgdl, null), positional = false)
           }
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+          if (cfg.stopAfterStage == "postings_parts") stages.abort()
+          else publishFromParts(spark, indexDir, partsDir, P, positional = false)
+        }
       } else {
         // positional variant (opt-in): each (term, docId) row carries the
         // ascending in-document token positions; the segment gains posBytes
         // (PostingSegP) enabling phrase queries (Searcher.searchPhrase)
-        withId
+        val sortedTfP = withId
           .select($"docId", $"content")
           .as[(Long, String)]
           .mapPartitions { it =>
@@ -708,28 +803,28 @@ object IndexBuilder {
           .as[(String, Long, Int, Int, Int, Array[Int])]
           .repartition(P, $"term", $"shard") // see non-positional branch note
           .sortWithinPartitions($"term", $"shard", $"docId")
-          .mapPartitions { it =>
-            val buf = it.buffered
-            new Iterator[PostingSegP] {
-              def hasNext: Boolean = buf.hasNext
-              def next(): PostingSegP = {
-                segCounter.add(1)
-                val (term, _, _, _, shard, _) = buf.head
-                val docs = Array.newBuilder[Long]
-                val tfs = Array.newBuilder[Int]
-                val dls = Array.newBuilder[Int]
-                val poss = Array.newBuilder[Array[Int]]
-                while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-                  val (_, d, f, dl, _, ps) = buf.next()
-                  docs += d; tfs += f; dls += dl; poss += ps
-                }
-                val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-                Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
-                  Codec.encodePositions(poss.result()))
-              }
-            }
+        if (!cfg.partitionedResume) {
+          sortedTfP
+            .mapPartitions(encodeSegmentsP(_, k1, b, avgdl, segCounter))
+            .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+        } else {
+          val partsDir = s"$indexDir/_postings_parts"
+          val committed = spark.sparkContext.broadcast(
+            PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
+          if (committed.value.nonEmpty)
+            System.err.println(s"[buildFast] partitioned resume: " +
+              s"${committed.value.size}/$P postings partitions already " +
+              "committed — re-encoding only the rest")
+          sortedTfP.foreachPartition {
+            (it: Iterator[(String, Long, Int, Int, Int, Array[Int])]) =>
+              val tc = TaskContext.get()
+              if (!committed.value.contains(tc.partitionId()))
+                PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
+                  encodeSegmentsP(it, k1, b, avgdl, null), positional = true)
           }
-          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+          if (cfg.stopAfterStage == "postings_parts") stages.abort()
+          else publishFromParts(spark, indexDir, partsDir, P, positional = true)
+        }
       }
       phase("publish-write")
     }
@@ -756,7 +851,10 @@ object IndexBuilder {
       if (numTermsObserved >= 0) numTermsObserved
       else spark.read.parquet(s"$indexDir/dict.parquet").count()
     val numSegments =
-      if (stages.ranStages.contains("postings")) segCounter.value.longValue()
+      // partitionedResume: the accumulator misses partitions skipped on a
+      // resume, so count the published artifact (a metadata-only scan)
+      if (stages.ranStages.contains("postings") && !cfg.partitionedResume)
+        segCounter.value.longValue()
       else spark.read.parquet(s"$indexDir/postings.parquet").count()
     val meta = IndexMeta(numDocs, totalTokens, avgdl, cfg.k1, cfg.b,
       cfg.docsPerShard, numTerms, numSegments, cfg.fingerprint)
@@ -775,6 +873,7 @@ class StageTracker(indexDir: String, fingerprint: String, stopAfter: String) {
   var stopped = false
   var skippedStages: List[String] = Nil
   var ranStages: List[String] = Nil
+  private var abortRequested = false
 
   private def markerPath(name: String) = Paths.get(s"$indexDir/_stage_$name.json")
 
@@ -784,12 +883,20 @@ class StageTracker(indexDir: String, fingerprint: String, stopAfter: String) {
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8).contains(fingerprint)
   }
 
+  /** Called from INSIDE a stage body to simulate/handle a mid-stage stop:
+    * the stage's marker is NOT written (its sub-artifacts keep their own
+    * commits) and the build stops — used by the `postings_parts` sub-stage
+    * stop hook that exercises per-partition resume.
+    */
+  def abort(): Unit = { abortRequested = true }
+
   def run(name: String)(body: => Unit): Unit = {
     if (stopped) return
     if (isDone(name)) { skippedStages ::= name }
     else {
       val t0 = System.nanoTime()
       body
+      if (abortRequested) { stopped = true; return }
       val ms = (System.nanoTime() - t0) / 1000000
       Files.write(markerPath(name),
         s"""{"stage":"$name","fingerprint":"$fingerprint","elapsedMs":$ms}"""

@@ -124,6 +124,53 @@ class ResumeSpec extends AnyFunSuite {
     assert(!tracker.isDone("docs"))
   }
 
+  test("per-partition postings resume re-encodes only the missing partitions") {
+    val (corpusDir, stagedDir) = TestSpark.builtIndex
+    val cfg = IndexConfig(docsPerShard = 256, buildPartitions = 8,
+      partitionedResume = true)
+    val rDir = s"${TestSpark.workDir}/index_partres"
+    def part(pid: Int) = Paths.get(f"$rDir/_postings_parts/part-$pid%05d.bin")
+
+    // simulated crash AFTER the per-partition parts job, BEFORE publish:
+    // all 8 parts committed, no postings stage marker
+    val stopped = IndexBuilder.buildFast(spark, corpusDir, rDir,
+      cfg.copy(stopAfterStage = "postings_parts"))
+    assert(stopped == null)
+    assert(!Files.exists(Paths.get(s"$rDir/_stage_postings.json")))
+    assert((0 until 8).forall(pid => Files.exists(part(pid))))
+
+    // pretend the crash actually hit before partitions 5..7 committed
+    (5 until 8).foreach(pid => Files.delete(part(pid)))
+    val mtimes = (0 until 5).map(pid => Files.getLastModifiedTime(part(pid)))
+
+    // resumed attempt (stopped again before publish): must re-encode ONLY
+    // the 3 missing partitions — the 5 committed part files stay untouched
+    val stopped2 = IndexBuilder.buildFast(spark, corpusDir, rDir,
+      cfg.copy(stopAfterStage = "postings_parts"))
+    assert(stopped2 == null)
+    assert((0 until 8).forall(pid => Files.exists(part(pid))))
+    assert((0 until 5).map(pid => Files.getLastModifiedTime(part(pid))) == mtimes,
+      "a committed part file was rewritten on resume")
+
+    // final attempt publishes from the parts and cleans them up
+    val meta = IndexBuilder.buildFast(spark, corpusDir, rDir, cfg)
+    assert(meta != null && Files.exists(Paths.get(s"$rDir/meta.json")))
+    assert(!Files.exists(Paths.get(s"$rDir/_postings_parts")))
+
+    // content identical to the staged build of the same corpus
+    def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+      .select("term", "shard", "n", "sumTf", "docBytes", "tfBytes")
+    assert(segs(rDir).exceptAll(segs(stagedDir)).isEmpty)
+    assert(segs(stagedDir).exceptAll(segs(rDir)).isEmpty)
+    // and queries over it match the oracle
+    val files = spark.read.parquet(s"$corpusDir/files.parquet")
+    val s = new graft.query.Searcher(spark, rDir)
+    val got = s.search("import def", 5).collect().map(h => (h.docId, h.score))
+    val want = graft.oracle.OracleBm25.topK(files, "import def", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("resume with a CHANGED corpus fails loudly (corpus-vs-artifact consistency)") {
     import spark.implicits._
     val dir = s"${TestSpark.workDir}/drift_corpus"
