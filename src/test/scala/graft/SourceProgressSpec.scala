@@ -41,6 +41,45 @@ class SourceProgressSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg read path end-to-end: snapshot-pinned table → staged build → identical index") {
+    import graft.sources.IcebergStubSource
+    val (corpusDir, parquetIdx) = TestSpark.builtIndex
+    val filesTable = s"$corpusDir/files.parquet"
+    IcebergStubSource.reset()
+    spark.conf.set("spark.graft.source.format", "iceberg")
+    spark.conf.set("spark.graft.source.snapshotId", "424242")
+    spark.conf.set("spark.graft.source.refShaTable", s"$corpusDir/ref_sha.parquet")
+    try {
+      // readFiles resolves format("iceberg") through Spark's source registry
+      // (the test-scope stub registers the short name exactly like the real
+      // iceberg-spark-runtime does) and validates the input_hint schema
+      val df = CorpusSource.readFiles(spark, filesTable)
+      assert(CorpusSource.Columns.forall(df.columns.contains))
+      assert(df.count() == spark.read.parquet(filesTable).count())
+      // the snapshot pin arrived at the source as Iceberg's documented
+      // read option — the whole point of pinning: every stage of a
+      // multi-day build plans against ONE immutable snapshot
+      assert(IcebergStubSource.received(filesTable)
+        .get("snapshot-id").contains("424242"))
+      // full STAGED build through the iceberg read path, including the
+      // sha256 sidecar invariant via its own pinned table
+      val idx = s"${TestSpark.workDir}/index_iceberg"
+      val meta = graft.index.IndexBuilder.build(spark, filesTable, idx,
+        graft.index.IndexConfig(docsPerShard = 256))
+      assert(meta != null && meta.numDocs == df.count())
+      assert(IcebergStubSource.received.contains(s"$corpusDir/ref_sha.parquet"))
+      // index content identical to the parquet-mode build of the same corpus
+      def segs(dir: String) = spark.read.parquet(s"$dir/postings.parquet")
+        .select("term", "shard", "n", "docBytes", "tfBytes")
+      assert(segs(idx).exceptAll(segs(parquetIdx)).isEmpty)
+      assert(segs(parquetIdx).exceptAll(segs(idx)).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.source.format")
+      spark.conf.unset("spark.graft.source.snapshotId")
+      spark.conf.unset("spark.graft.source.refShaTable")
+    }
+  }
+
   test("unknown format is a clear error; conf selects the format") {
     spark.conf.set("spark.graft.source.format", "orc9000")
     try {
