@@ -14,6 +14,8 @@ import graft.query.Searcher
   *   gen    --docs N [--seed S] [--offset M] --out DIR   synthesize corpus
   *   build  --corpus DIR --index DIR [--docsPerShard N] [--stopAfter STAGE]
   *          [--positions true]  (positional index for phrase queries)
+  *          [--fast true]       (fused fast-path build; implied by positions)
+  *          [--partResume true] (per-partition postings commit/resume, fast build)
   *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
@@ -66,17 +68,19 @@ object Main {
         // docs/tf/doclen/docs_meta/dict/segments/publish, buildFast (incl.
         // positional) at docs/dlens/postings/dict
         val positional = opts.getOrElse("positions", "false").toBoolean
+        val fast = positional || opts.getOrElse("fast", "false").toBoolean
         val cfg = IndexConfig(
           docsPerShard = opts.getOrElse("docsPerShard", s"${1 << 12}").toInt,
           stopAfterStage = opts.getOrElse("stopAfter", ""),
-          positions = positional)
+          positions = positional,
+          partitionedResume = opts.getOrElse("partResume", "false").toBoolean)
         val reporter =
           if (opts.getOrElse("progress", "true").toBoolean)
             Some(ProgressReporter.attach(spark, "build"))
           else None
         val t0 = System.nanoTime()
         val meta =
-          if (positional) IndexBuilder.buildFast(spark, opts("corpus"), opts("index"), cfg)
+          if (fast) IndexBuilder.buildFast(spark, opts("corpus"), opts("index"), cfg)
           else IndexBuilder.build(spark, opts("corpus"), opts("index"), cfg)
         val sec = (System.nanoTime() - t0) / 1e9
         reporter.foreach(ProgressReporter.detach(spark, _))

@@ -83,6 +83,12 @@ object IndexBuilder {
     */
   private def negotiatePartitions(spark: SparkSession, corpusDir: String): Int = {
     val floor = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the volume probe below is parquet-layout-specific; an iceberg corpus
+    // is addressed by table identifier, so there is no files.parquet to
+    // stat — use the session floor (an iceberg deployment sizes the wide
+    // shuffles explicitly via IndexConfig.buildPartitions, or extends this
+    // probe to the table's snapshot summary stats)
+    if (CorpusSource.format(spark) != "parquet") return floor
     val p = try {
       val path = new org.apache.hadoop.fs.Path(s"$corpusDir/files.parquet")
       val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
