@@ -17,6 +17,8 @@ import graft.query.Searcher
   *          [--fast true]       (fused fast-path build; implied by positions)
   *          [--partResume true] (per-partition postings commit/resume, fast build)
   *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
+  *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
+  *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
   *          (drain-available-then-stop incremental delta indexing)
@@ -144,9 +146,19 @@ object Main {
         val k = opts.getOrElse("k", "10").toInt
         val orMode = opts.getOrElse("or", "false").toBoolean
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
+        val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
+        opts.get("facet").foreach { fc =>
+          val t0 = System.nanoTime()
+          val counts = searcher.searchFacets(q, fc).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"facets of '$q' by $fc in $ms%.0f ms")
+          counts.foreach(r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}"))
+          spark.stop(); return
+        }
         val t0 = System.nanoTime()
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
+                    else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (orMode) searcher.searchOr(q, k)
                     else whereExpr match {
                       case Some(w) => searcher.searchWhere(q, k,

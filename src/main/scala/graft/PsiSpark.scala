@@ -75,6 +75,12 @@ class IndexHandle(spark: SparkSession, val indexDir: String) {
   /** Exact-phrase top-k (requires IndexConfig(positions = true) at build). */
   def queryPhrase(q: String, k: Int) = searcher.searchPhrase(q, k)
 
+  /** Wildcard `prefix*` top-k (dictionary expansion → OR scoring). */
+  def queryPrefix(prefix: String, k: Int) = searcher.searchPrefix(prefix, k)
+
+  /** Facet counts over the full conjunctive match set. */
+  def queryFacets(q: String, facetCol: String) = searcher.searchFacets(q, facetCol)
+
   /** Conjunctive top-k restricted by a docs-table metadata predicate. */
   def queryWhere(q: String, k: Int, predicate: org.apache.spark.sql.Column) =
     searcher.searchWhere(q, k, predicate)

@@ -369,6 +369,25 @@ object SparkEntry {
         .orderBy("query_name", "rank")
     }),
 
+    "q_bm25_prefix" -> ((s, dir) => {
+      // wildcard `util_1*`: dictionary range expansion (df desc, term asc,
+      // cap 64) → disjunctive WAND scoring over the completions; the oracle
+      // reproduces the expansion rule and left-folds per-doc scores in
+      // ascending-term order (list_reduce) for bit-exact sums
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchPrefix("util_1", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_facet_counts" -> ((s, dir) => {
+      // facet panel: per-lang counts over the FULL conjunctive match set,
+      // match set computed by codegen'd vbyte decode + count-distinct
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchFacets(Bm25Query, "lang")
+    }),
+
     "q_corpus_langs" -> ((s, dir) => {
       CorpusFixture.ensure(s)
       s.read.parquet(s"${CorpusFixture.corpusDir}/files.parquet")
@@ -907,6 +926,40 @@ object SparkEntry {
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
+
+    // prefix expansion reproduced in SQL (same rule: df desc, term asc,
+    // LIMIT 64), then OR-mode BM25 where each doc's term scores are
+    // left-folded in ascending-term order via list_reduce — the same
+    // accumulation order as the Spark kernel, so sums are bit-exact
+    "q_bm25_prefix" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |expansion AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE starts_with(tok, 'util_1') GROUP BY 1
+         |  ORDER BY count(*) DESC, tok LIMIT 64),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // facet counts over the full conjunctive match set
+    "q_facet_counts" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      s"""WITH $corpusCte,
+         |m AS (SELECT docid FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT d.lang, count(*) AS n FROM m JOIN docs d ON m.docid = d.docid
+         |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
 
     "q_bm25_filtered" -> {
       val terms = Bm25Query.split(" ").distinct.sorted

@@ -66,6 +66,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     spark.read.parquet(allDirs.map(d => s"$d/postings.parquet"): _*)
   private val dlens = spark.read.parquet(allDirs.map(d => s"$d/dlens.parquet"): _*)
   private lazy val docs = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
+  private lazy val dict = spark.read.parquet(allDirs.map(d => s"$d/dict.parquet"): _*)
 
   /** Driver-side term metadata cache: df (global, summed over base+deltas)
     * and the sorted set of shards holding the term. The index is immutable
@@ -290,8 +291,79 @@ class Searcher(spark: SparkSession, indexDir: String,
     * Same determinism contract as `search`: per-doc scores accumulate over
     * matching terms in ascending-term order, tiebreak (score desc, docId asc).
     */
-  def searchOr(query: String, k: Int): Dataset[Hit] = {
+  def searchOr(query: String, k: Int): Dataset[Hit] =
+    searchOrTerms(Tokenize.tokenize(query).distinct.sorted, k)
+
+  /** Prefix (wildcard `prefix*`) top-k BM25: the prefix is expanded against
+    * the term dictionary — `term >= prefix` range scan, pushed down to the
+    * dict parquet — into its matching terms, capped at the `maxExpand`
+    * highest-df completions (ties broken by term asc, so the expansion is
+    * deterministic and an oracle can reproduce it), then scored as a
+    * disjunctive (OR) query over the expansion: a doc scores on whichever
+    * completions it contains, each with its own idf. The classic multi-term
+    * query rewrite (Lucene's PrefixQuery → rewritten BooleanQuery), riding
+    * the same WAND-pruned document-at-a-time kernel as `searchOr`.
+    */
+  def searchPrefix(prefix: String, k: Int, maxExpand: Int = 64): Dataset[Hit] = {
+    val expanded = expandPrefix(prefix, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else searchOrTerms(expanded.sorted, k)
+  }
+
+  /** The dictionary expansion of a prefix: matching terms ordered by
+    * (df desc, term asc), capped at `maxExpand`. The prefix itself is run
+    * through the tokenizer (so `UTIL_` and `util_` expand identically) and
+    * must normalize to exactly one token.
+    */
+  def expandPrefix(prefix: String, maxExpand: Int = 64): Seq[String] = {
+    val norm = Tokenize.tokenize(prefix)
+    require(norm.length == 1,
+      s"prefix must normalize to one token, got ${norm.toSeq} from '$prefix'")
+    dict.filter($"term".startsWith(norm.head))
+      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+      .orderBy($"df".desc, $"term".asc)
+      .limit(maxExpand)
+      .select("term").as[String].collect().toSeq
+  }
+
+  /** All docIds containing EVERY query term (the full conjunctive match set,
+    * not a top-k): posting lists for the query's (term, shard) segments are
+    * decoded by the native codegen'd `vbyte_decode_deltas` Expression inside
+    * WholeStageCodegen and intersected with one count-distinct aggregation —
+    * the DataFrame-declarative twin of the galloping kernel, used where the
+    * CONSUMER is another DataFrame op (facets, joins, exports) rather than a
+    * ranked list.
+    */
+  def matchingDocs(query: String): DataFrame = {
+    graft.functions.VByteFunctions.register(spark)
     val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return spark.range(0).select($"id".as("docId"))
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L))
+      return spark.range(0).select($"id".as("docId"))
+    val candShards = terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.range(0).select($"id".as("docId"))
+    val nTerms = terms.length
+    postings.filter($"term".isin(terms: _*) && $"shard".isin(candShards.toSeq: _*))
+      .select($"term", explode(expr("vbyte_decode_deltas(docBytes, n)")).as("docId"))
+      .groupBy("docId").agg(count(lit(1)).as("nt"))
+      .filter($"nt" === nTerms) // a (term, shard) pair holds a docId once
+      .select("docId")
+  }
+
+  /** Facet counts over the FULL conjunctive match set: how many matching
+    * docs per value of a docs-table metadata column (lang, repo, …) — the
+    * standard search-engine facet panel. One broadcast-friendly join of the
+    * match set against the docs table, one hash aggregation.
+    */
+  def searchFacets(query: String, facetCol: String): DataFrame =
+    matchingDocs(query)
+      .join(docs, "docId")
+      .groupBy(facetCol).agg(count(lit(1)).as("n"))
+      .orderBy(facetCol)
+
+  /** Disjunctive scoring over an explicit, sorted term set. */
+  private def searchOrTerms(terms: Seq[String], k: Int): Dataset[Hit] = {
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     val info = lookupTerms(terms)
     val present = terms.filter(t => info(t).df > 0L).toSeq

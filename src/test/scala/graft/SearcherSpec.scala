@@ -47,6 +47,39 @@ class SearcherSpec extends AnyFunSuite {
         "the hot list was walked, not skipped")
   }
 
+  test("prefix search: dictionary expansion + OR scoring, rank-identical to the oracle") {
+    val expansion = searcher.expandPrefix("util_1")
+    assert(expansion.nonEmpty && expansion.forall(_.startsWith("util_1")))
+    // deterministic expansion order: df desc, term asc
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+    val want = dict.filter(org.apache.spark.sql.functions.col("term").startsWith("util_1"))
+      .orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("term").asc)
+      .limit(64).select("term").as[String].collect().toSeq
+    assert(expansion == want)
+    // scoring == OR over the expansion, and matches the brute-force oracle
+    val g = got(searcher.searchPrefix("util_1", 10))
+    val w = oracleOr(expansion.mkString(" "), 10)
+    assert(g.toSeq == w.toSeq)
+    // case/punct-insensitive prefix normalization
+    assert(got(searcher.searchPrefix("UTIL_1", 10)).toSeq == g.toSeq)
+    // no-match prefix → empty
+    assert(searcher.searchPrefix("zzqx_nada", 5).isEmpty)
+  }
+
+  test("facet counts equal brute-force counts over the conjunctive match set") {
+    import org.apache.spark.sql.functions._
+    val q = "import def util_7"
+    val terms = q.split(" ").toSeq
+    val withToks = files.withColumn("__toks", graft.index.Tokenize.termsCol(col("content")))
+    val brute = terms.foldLeft(withToks) { (df, t) =>
+      df.filter(array_contains(col("__toks"), t))
+    }.groupBy("lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = searcher.searchFacets(q, "lang").as[(String, Long)].collect().toMap
+    assert(got == brute && got.values.sum > 0)
+  }
+
   test("term-info cache is LRU-bounded and eviction does not change results") {
     val tiny = new Searcher(spark, indexDir, termCacheCap = 3)
     val baseline = got(tiny.search("import val", 5))
