@@ -20,6 +20,10 @@ import graft.query.Searcher
   *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
+  *          [--tombstones PATH]  (exclude deleted docs)
+  *   delete --index DIR [--deltas D1,D2] --keys PARQUET --tombstones PATH
+  *          (tombstone docs by (repo, path, commit) keys — Lucene-style
+  *          logical delete; `compact --tombstones` applies physically)
   *   ingest --watch DIR --base DIR --deltas DIR [--docsPerShard N]
   *          (drain-available-then-stop incremental delta indexing)
   *   convert --in PARQUET --out PARQUET --key K --labels a,b [--mode merge|extract]
@@ -112,12 +116,24 @@ object Main {
 
       case "compact" =>
         val spark = session("psispark-compact")
-        val deltas = graft.streaming.IncrementalIndexer.deltaDirs(opts("deltas"))
+        val deltas = opts.get("deltas")
+          .map(graft.streaming.IncrementalIndexer.deltaDirs).getOrElse(Nil)
         val t0 = System.nanoTime()
-        val meta = IndexBuilder.compact(spark, opts("base"), deltas, opts("out"))
+        val meta = IndexBuilder.compact(spark, opts("base"), deltas, opts("out"),
+          opts.get("tombstones"))
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"compacted ${deltas.size} deltas into ${opts("out")}: " +
-          f"${meta.numDocs} docs, ${meta.numSegments} segments in $sec%.1f s")
+          f"${meta.numDocs} docs, ${meta.numSegments} segments in $sec%.1f s" +
+          opts.get("tombstones").map(_ => " (tombstones applied)").getOrElse(""))
+        spark.stop()
+
+      case "delete" =>
+        val spark = session("psispark-delete")
+        val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)
+        val keys = spark.read.parquet(opts("keys"))
+        val n = graft.index.Tombstones.applyDeletes(spark, keys,
+          opts("index") +: deltas, opts("tombstones"))
+        println(s"tombstoned: $n docs total -> ${opts("tombstones")}")
         spark.stop()
 
       case "convert" =>
@@ -141,7 +157,8 @@ object Main {
       case "query" =>
         val spark = session("psispark-query")
         val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)
-        val searcher = new Searcher(spark, opts("index"), deltas)
+        val searcher = new Searcher(spark, opts("index"), deltas,
+          tombstones = opts.get("tombstones"))
         val q = opts("q")
         val k = opts.getOrElse("k", "10").toInt
         val orMode = opts.getOrElse("or", "false").toBoolean

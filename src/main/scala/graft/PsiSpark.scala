@@ -37,9 +37,13 @@ object PsiSpark {
     openIndex(spark, indexDir)
   }
 
-  /** Open a previously-built index. */
-  def openIndex(spark: SparkSession, indexDir: String): IndexHandle =
-    new IndexHandle(spark, indexDir)
+  /** Open a previously-built index, optionally with streaming deltas and a
+    * tombstone file (`Tombstones.applyDeletes`) excluding deleted docs.
+    */
+  def openIndex(spark: SparkSession, indexDir: String,
+                deltaDirs: Seq[String] = Nil,
+                tombstones: Option[String] = None): IndexHandle =
+    new IndexHandle(spark, indexDir, deltaDirs, tombstones)
 
   /** The reference's PSI execution as one call: duplicate-aware join of two
     * tables on equal-named key columns, plus the result report.
@@ -59,8 +63,11 @@ object PsiSpark {
 /** A built index: metadata + query methods (the reference's UB-PSI online
   * phase — query against the prebuilt cache, psi/interface.cc:281-312).
   */
-class IndexHandle(spark: SparkSession, val indexDir: String) {
-  val searcher = new Searcher(spark, indexDir)
+class IndexHandle(spark: SparkSession, val indexDir: String,
+                  deltaDirs: Seq[String] = Nil,
+                  tombstones: Option[String] = None) {
+  val searcher = new Searcher(spark, indexDir, deltaDirs,
+    tombstones = tombstones)
   def meta: IndexMeta = searcher.meta
 
   /** Conjunctive top-k (docId, score), hydrated with document keys. */

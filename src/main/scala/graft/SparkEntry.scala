@@ -369,6 +369,26 @@ object SparkEntry {
         .orderBy("query_name", "rank")
     }),
 
+    "q_bm25_deleted" -> ((s, dir) => {
+      // tombstone deletion with Lucene statistics semantics: every 7th doc
+      // is logically deleted (keys resolved → docIds), the query excludes
+      // them, and SURVIVORS' scores are bit-identical to the undeleted
+      // index (df/avgdl stay full-corpus until compaction — same contract
+      // as Lucene's docFreq-includes-deletes); oracle = the full-corpus
+      // BM25 with deleted docids filtered out of the final ranking
+      CorpusFixture.ensure(s)
+      val docs = s.read.parquet(s"${CorpusFixture.indexDir}/docs.parquet")
+      val keys = docs.filter(col("docId") % 7 === 0)
+        .select("repo", "path", "commit")
+      val tombPath = s"${CorpusFixture.indexDir}_tombstones.parquet"
+      graft.index.Tombstones.applyDeletes(s, keys,
+        Seq(CorpusFixture.indexDir), tombPath) // idempotent across runs
+      new graft.query.Searcher(s, CorpusFixture.indexDir,
+        tombstones = Some(tombPath))
+        .search(Bm25Query, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_prefix" -> ((s, dir) => {
       // wildcard `util_1*`: dictionary range expansion (df desc, term asc,
       // cap 64) → disjunctive WAND scoring over the completions; the oracle
@@ -898,6 +918,33 @@ object SparkEntry {
          |agg AS (SELECT docid, count(*) AS nt, $termScores
          |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // Lucene-semantics deletion oracle: identical full-corpus statistics
+    // and per-term scores as q_bm25_topk, deleted docids (docid % 7 = 0)
+    // filtered out of the FINAL ranking only
+    "q_bm25_deleted" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE docid % 7 <> 0
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
 

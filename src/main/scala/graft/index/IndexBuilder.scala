@@ -345,9 +345,18 @@ object IndexBuilder {
     * dictionary and per-shard dlens are re-aggregated. The analog of the
     * reference regenerating its server cache after appends
     * (UB-PSI OFFLINE_GEN_CACHE, psi/interface.cc:281-312).
+    *
+    * With `tombstonePath` set, compaction additionally APPLIES DELETES
+    * physically (the Lucene merge analog): tombstoned docs are dropped from
+    * the docs table, dlens and every posting run; corpus statistics
+    * (numDocs, totalTokens, avgdl) are recomputed over the survivors, so
+    * idf/norms — and the recomputed block-max bounds, hence pruning —
+    * reflect the post-delete corpus. Surviving docIds are NOT renumbered
+    * (holes are fine: docIds are opaque identities and the shard geometry
+    * keys off ranges).
     */
   def compact(spark: SparkSession, baseDir: String, deltaDirs: Seq[String],
-              outDir: String): IndexMeta = {
+              outDir: String, tombstonePath: Option[String] = None): IndexMeta = {
     import spark.implicits._
     Files.createDirectories(Paths.get(outDir))
     val dirs = baseDir +: deltaDirs
@@ -356,19 +365,69 @@ object IndexBuilder {
     require(metas.forall(m => m.k1 == base.k1 && m.b == base.b &&
       m.docsPerShard == base.docsPerShard),
       "all parts must share k1/b/docsPerShard")
-    val numDocs = metas.map(_.numDocs).sum
-    val totalTokens = metas.map(_.totalTokens).sum
-    val avgdl = totalTokens.toDouble / numDocs
     val (k1, b) = (base.k1, base.b)
+    val dps = base.docsPerShard
     val P = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tombstoneDf = tombstonePath.map(p => Tombstones.read(spark, p).persist())
 
-    spark.read.parquet(dirs.map(d => s"$d/docs.parquet"): _*)
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs.parquet")
+    val docsAll = spark.read.parquet(dirs.map(d => s"$d/docs.parquet"): _*)
+    val docsOut = tombstoneDf match {
+      case Some(ts) => docsAll.join(ts.select("docId"), Seq("docId"), "left_anti")
+      case None => docsAll
+    }
+    docsOut.write.mode(SaveMode.Overwrite).parquet(s"$outDir/docs.parquet")
 
-    spark.read.parquet(dirs.map(d => s"$d/dlens.parquet"): _*).as[ShardLens]
-      .groupByKey(_.shard)
-      .mapGroups((_, it) => graft.query.Searcher.mergeLens(it))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dlens.parquet")
+    // corpus stats over the SURVIVORS (with deletes, the parts' meta sums
+    // overstate the corpus; one narrow agg over the written docs table)
+    val (numDocs, totalTokens) =
+      if (tombstoneDf.isEmpty) (metas.map(_.numDocs).sum, metas.map(_.totalTokens).sum)
+      else {
+        val r = spark.read.parquet(s"$outDir/docs.parquet")
+          .agg(count(lit(1)), sum($"dlen".cast("long"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val avgdl = totalTokens.toDouble / numDocs
+
+    if (tombstoneDf.isEmpty) {
+      spark.read.parquet(dirs.map(d => s"$d/dlens.parquet"): _*).as[ShardLens]
+        .groupByKey(_.shard)
+        .mapGroups((_, it) => graft.query.Searcher.mergeLens(it))
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dlens.parquet")
+    } else {
+      // rebuild dlens from the filtered docs table: deleted slots stay 0
+      // (never dereferenced — the docs are gone from every posting run too).
+      // Shard extents span the ORIGINAL docId range (ids are not renumbered).
+      val bound = spark.read.parquet(s"$outDir/docs.parquet")
+        .agg(max($"docId")).as[Long].head() + 1
+      spark.read.parquet(s"$outDir/docs.parquet")
+        .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
+        .as[(Long, Int, Int)]
+        .groupByKey(_._3)
+        .mapGroups { (shard, it) =>
+          val first = shard.toLong * dps
+          val size = (math.min((shard + 1).toLong * dps, bound) - first).toInt
+          val lens = new Array[Int](size)
+          it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
+          ShardLens(shard, first, lens)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/dlens.parquet")
+    }
+
+    // tombstones ride the same cogroup as the posting segments, one
+    // exclusion row per shard under DeletedTerm (same trick as query time)
+    def exclusionSegs: Dataset[PostingSeg] = tombstoneDf match {
+      case None => spark.emptyDataset[PostingSeg]
+      case Some(ts) =>
+        ts.select($"docId", $"shard").as[(Long, Int)]
+          .groupByKey(_._2)
+          .mapGroups { (shard, it) =>
+            val ids = it.map(_._1).toArray.sorted
+            PostingSeg(graft.query.Searcher.DeletedTerm, shard, ids.length, 0L,
+              Codec.encodeDeltas(ids),
+              Codec.encodeInts(Array.fill(ids.length)(1)),
+              Array(ids.head), Array(0.0f))
+          }
+    }
 
     val mergedLens = spark.read.parquet(s"$outDir/dlens.parquet").as[ShardLens]
     val partSchemas = dirs.map(d =>
@@ -378,15 +437,24 @@ object IndexBuilder {
     val positional = partSchemas.head
     if (!positional) {
       spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSeg]
+        .unionByName(exclusionSegs)
         .groupByKey(_.shard)
         .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
           if (!lenIt.hasNext) Iterator.empty
           else {
             val lens = lenIt.next()
-            segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
-              val tl = graft.query.Searcher.decodeTermList(term, ss, 0.0)
-              val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
-              Codec.makeSeg(term, shard, tl.docs, tl.tfs, dls, k1, b, avgdl)
+            val (del, rest) = segIt.toArray
+              .partition(_.term == graft.query.Searcher.DeletedTerm)
+            val deleted = graft.query.Searcher.decodeDeleted(del)
+            rest.groupBy(_.term).iterator.flatMap { case (term, ss) =>
+              val tl = graft.query.Searcher.withoutDeleted(
+                graft.query.Searcher.decodeTermList(term, ss, 0.0), deleted)
+              if (tl.docs.isEmpty) Iterator.empty // every posting deleted
+              else {
+                val dls = tl.docs.map(d => lens.lens((d - lens.firstDocId).toInt))
+                Iterator.single(
+                  Codec.makeSeg(term, shard, tl.docs, tl.tfs, dls, k1, b, avgdl))
+              }
             }
           }
         }
@@ -396,14 +464,22 @@ object IndexBuilder {
     } else {
       // positional merge: per-doc position lists are self-contained, so
       // posBytes concatenates in the same first-docId order the doc/tf
-      // arrays are merged in
+      // arrays are merged in (deletes force a decode→filter→re-encode of
+      // the position stream instead of the byte concat)
       spark.read.parquet(dirs.map(d => s"$d/postings.parquet"): _*).as[PostingSegP]
+        .unionByName(exclusionSegs
+          .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
         .groupByKey(_.shard)
         .cogroup(mergedLens.groupByKey(_.shard)) { (shard, segIt, lenIt) =>
           if (!lenIt.hasNext) Iterator.empty
           else {
             val lens = lenIt.next()
-            segIt.toArray.groupBy(_.term).iterator.map { case (term, ss) =>
+            val (del, rest) = segIt.toArray
+              .partition(_.term == graft.query.Searcher.DeletedTerm)
+            val deleted = graft.query.Searcher.decodeDeleted(del.map(s =>
+              PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+                s.blockFirst, s.blockMaxTfn)))
+            rest.groupBy(_.term).iterator.flatMap { case (term, ss) =>
               val parts = ss.map(s => (Codec.decodeDeltas(s.docBytes, s.n),
                 Codec.decodeInts(s.tfBytes, s.n), s.posBytes)).sortBy(_._1.head)
               var i = 1
@@ -412,19 +488,51 @@ object IndexBuilder {
                   s"overlapping posting segments for term '$term'")
                 i += 1
               }
-              val da = parts.flatMap(_._1)
-              val fa = parts.flatMap(_._2)
-              val pb = {
-                val total = parts.map(_._3.length).sum
-                val out = new Array[Byte](total)
-                var o = 0
-                parts.foreach { p =>
-                  System.arraycopy(p._3, 0, out, o, p._3.length); o += p._3.length
+              if (deleted.isEmpty) {
+                val da = parts.flatMap(_._1)
+                val fa = parts.flatMap(_._2)
+                val pb = {
+                  val total = parts.map(_._3.length).sum
+                  val out = new Array[Byte](total)
+                  var o = 0
+                  parts.foreach { p =>
+                    System.arraycopy(p._3, 0, out, o, p._3.length); o += p._3.length
+                  }
+                  out
                 }
-                out
+                val dls = da.map(d => lens.lens((d - lens.firstDocId).toInt))
+                Iterator.single(
+                  Codec.makeSegP(term, shard, da, fa, dls, k1, b, avgdl, pb))
+              } else {
+                // parts are disjoint ascending ranges, so one shared cursor
+                // over the sorted deleted array survives across parts
+                val docsB = Array.newBuilder[Long]
+                val tfsB = Array.newBuilder[Int]
+                val posB = Array.newBuilder[Array[Int]]
+                var dj = 0
+                parts.foreach { case (da, fa, pb) =>
+                  val flat = Codec.decodePositions(pb, fa)
+                  val off = Codec.prefixSums(fa)
+                  var x = 0
+                  while (x < da.length) {
+                    val d = da(x)
+                    while (dj < deleted.length && deleted(dj) < d) dj += 1
+                    if (dj >= deleted.length || deleted(dj) != d) {
+                      docsB += d; tfsB += fa(x)
+                      posB += java.util.Arrays.copyOfRange(flat, off(x), off(x + 1))
+                    }
+                    x += 1
+                  }
+                }
+                val da2 = docsB.result()
+                if (da2.isEmpty) Iterator.empty
+                else {
+                  val fa2 = tfsB.result()
+                  val dls = da2.map(d => lens.lens((d - lens.firstDocId).toInt))
+                  Iterator.single(Codec.makeSegP(term, shard, da2, fa2, dls,
+                    k1, b, avgdl, Codec.encodePositions(posB.result())))
+                }
               }
-              val dls = da.map(d => lens.lens((d - lens.firstDocId).toInt))
-              Codec.makeSegP(term, shard, da, fa, dls, k1, b, avgdl, pb)
             }
           }
         }
@@ -444,6 +552,7 @@ object IndexBuilder {
     // a plain count, NOT an accumulator: the range partitioner's sampling
     // pass re-executes the cogroup and would double-count
     val numSegments = spark.read.parquet(s"$outDir/postings.parquet").count()
+    tombstoneDf.foreach(_.unpersist())
     val meta = IndexMeta(numDocs, totalTokens, avgdl, k1, b, base.docsPerShard,
       numTerms, numSegments, base.fingerprint)
     Metrics.writeMetaJson(s"$outDir/meta.json", meta)

@@ -27,7 +27,8 @@ import graft.index.{Codec, IndexBuilder, IndexMeta, Tokenize}
   */
 class Searcher(spark: SparkSession, indexDir: String,
                deltaDirs: Seq[String] = Nil,
-               termCacheCap: Int = Searcher.DefaultTermCacheCap) {
+               termCacheCap: Int = Searcher.DefaultTermCacheCap,
+               tombstones: Option[String] = None) {
   import spark.implicits._
 
   private val allDirs = indexDir +: deltaDirs
@@ -67,6 +68,39 @@ class Searcher(spark: SparkSession, indexDir: String,
   private val dlens = spark.read.parquet(allDirs.map(d => s"$d/dlens.parquet"): _*)
   private lazy val docs = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
   private lazy val dict = spark.read.parquet(allDirs.map(d => s"$d/dict.parquet"): _*)
+
+  /** Tombstoned (deleted) docs — parquet of (docId, shard) written by
+    * `Tombstones.applyDeletes`. Lucene deletion semantics: deleted docs are
+    * excluded from every query path, but df/avgdl remain those of the full
+    * corpus until a compaction physically removes the docs and recomputes
+    * statistics (exactly Lucene's docFreq-includes-deletes behavior).
+    * Shards with deletions score without block-max pruning (the stored
+    * bounds stay admissible but lose alignment with the filtered lists —
+    * same discipline as delta indexes); compaction restores pruning.
+    */
+  private lazy val tombstoneDf = tombstones.map(p => spark.read.parquet(p))
+  private val hasTombstones = tombstones.isDefined
+
+  /** One exclusion segment per candidate shard, carrying the shard's sorted
+    * deleted docIds through the cogroup under [[Searcher.DeletedTerm]].
+    */
+  private def exclusionSegs(candShards: Seq[Int]): Dataset[PostingSeg] =
+    tombstoneDf match {
+      case None => spark.emptyDataset[PostingSeg]
+      case Some(ts) =>
+        ts.filter($"shard".isin(candShards: _*))
+          .select($"docId", $"shard")
+          .as[(Long, Int)]
+          .groupByKey(_._2)
+          .mapGroups { (shard, it) =>
+            val ids = it.map(_._1).toArray.sorted
+            val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
+            val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
+            PostingSeg(Searcher.DeletedTerm, shard, ids.length, 0L,
+              Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
+              firsts, new Array[Float](nBlocks))
+          }
+    }
 
   /** Driver-side term metadata cache: df (global, summed over base+deltas)
     * and the sorted set of shards holding the term. The index is immutable
@@ -151,6 +185,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     // query's posting segments in candidate shards are read.
     val segsC = postings.filter($"term".isin(terms: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+      .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
@@ -159,13 +194,15 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
-        val segsByTerm = segIt.toArray.groupBy(_.term)
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.size < termsSorted.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
           val lens = Searcher.mergeLens(lenIt)
           Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
-            k1, b, avgdl, k, accS, accP, pruning)
+            k1, b, avgdl, k, accS, accP, pruning && deleted.isEmpty, deleted)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -214,6 +251,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val segsC = postings.filter($"term".isin(terms: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
       .unionByName(filterSegs, allowMissingColumns = true)
+      .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
@@ -224,14 +262,17 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
-        val segsByTerm = segIt.toArray.groupBy(_.term)
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
         // the filter list must be present too (a shard with no matching
         // docs has no filter segment → early exit, AND semantics)
         if (segsByTerm.size < termsAll.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
           Searcher.scoreShard(segsByTerm, Searcher.mergeLens(lenIt), termsAll,
-            idfByTerm, k1, b, avgdl, k, accS, accP, pruning)
+            idfByTerm, k1, b, avgdl, k, accS, accP,
+            pruning && deleted.isEmpty, deleted)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -261,18 +302,24 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (candShards.isEmpty) return spark.emptyDataset[Hit]
     val segsC = postings.filter($"term".isin(terms: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
+      .unionByName(exclusionSegs(candShards.toSeq)
+        .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (seqB, termsB) = (tokenSeq, terms)
     val (accT, accS) = (shardsTouched, candidatesScored)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
-        val segsByTerm = segIt.toArray.groupBy(_.term)
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del.map(s =>
+          PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+            s.blockFirst, s.blockMaxTfn)))
+        val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
           Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
-            seqB, termsB, idfByTerm, k1, b, avgdl, k, accS)
+            seqB, termsB, idfByTerm, k1, b, avgdl, k, accS, deleted)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -344,11 +391,16 @@ class Searcher(spark: SparkSession, indexDir: String,
     val candShards = terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
     if (candShards.isEmpty) return spark.range(0).select($"id".as("docId"))
     val nTerms = terms.length
-    postings.filter($"term".isin(terms: _*) && $"shard".isin(candShards.toSeq: _*))
+    val matched = postings
+      .filter($"term".isin(terms: _*) && $"shard".isin(candShards.toSeq: _*))
       .select($"term", explode(expr("vbyte_decode_deltas(docBytes, n)")).as("docId"))
       .groupBy("docId").agg(count(lit(1)).as("nt"))
       .filter($"nt" === nTerms) // a (term, shard) pair holds a docId once
       .select("docId")
+    tombstoneDf match {
+      case Some(ts) => matched.join(ts.select("docId"), Seq("docId"), "left_anti")
+      case None => matched
+    }
   }
 
   /** Facet counts over the FULL conjunctive match set: how many matching
@@ -374,18 +426,22 @@ class Searcher(spark: SparkSession, indexDir: String,
     val candShards = present.flatMap(t => info(t).shards).distinct.sorted
     val segs = postings.filter($"term".isin(present: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+      .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
     val lensAll = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val pruning = usePruning
     val hits = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
-        val segsByTerm = segIt.toArray.groupBy(_.term)
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
         else {
           accT.add(1)
           Searcher.scoreShardOr(segsByTerm, Searcher.mergeLens(lenIt), present,
-            idfByTerm, k1, b, avgdl, k, accS, accP, pruning)
+            idfByTerm, k1, b, avgdl, k, accS, accP,
+            pruning && deleted.isEmpty, deleted)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -433,13 +489,16 @@ class Searcher(spark: SparkSession, indexDir: String,
         .toDF("query_name", "docId", "score", "rank")
     val segs = postings.filter($"term".isin(liveTerms: _*) &&
       $"shard".isin(candShards: _*)).as[PostingSeg]
+      .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
     val lensAll = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val conj = conjunctive
     val pruningB = usePruning
     val perShard = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
-        val segsByTerm = segIt.toArray.groupBy(_.term)
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
         else {
           val lens = Searcher.mergeLens(lenIt)
@@ -451,10 +510,12 @@ class Searcher(spark: SparkSession, indexDir: String,
               val hits =
                 if (conj)
                   Searcher.scoreShard(segsByTerm.filter(e => ts.contains(e._1)),
-                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null, conj && pruningB)
+                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null,
+                    conj && pruningB && deleted.isEmpty, deleted)
                 else
                   Searcher.scoreShardOr(segsByTerm.filter(e => ts.contains(e._1)),
-                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null, pruningB)
+                    lens, ts, idfByTerm, k1, b, avgdl, k, null, null,
+                    pruningB && deleted.isEmpty, deleted)
               hits.map(h => (name, h.docId, h.score))
             }
           }
@@ -483,6 +544,75 @@ object Searcher {
     * accumulation is unchanged, and the tokenizer can never produce it.
     */
   val FilterTerm: String = " where"
+
+  /** Synthetic "term" carrying a shard's tombstoned (deleted) docId list.
+    * '!' (0x21) cannot be produced by the tokenizer; the segment is
+    * partitioned OUT of the per-term map before scoring, never scored.
+    */
+  val DeletedTerm: String = "!deleted"
+
+  /** Remove tombstoned docIds from a decoded term list (sorted two-cursor
+    * filter). The stored block-max metadata is left as-is and MUST NOT be
+    * used afterwards: deletions only lower true block maxima (the bounds
+    * stay admissible) but the 128-posting block alignment no longer matches
+    * the filtered arrays — callers disable pruning for shards with
+    * deletions (same discipline as delta indexes; restored by compaction).
+    */
+  private[graft] def withoutDeleted(l: TermList, deleted: Array[Long]): TermList = {
+    if (deleted.isEmpty) return l
+    val nd = new Array[Long](l.docs.length)
+    val nt = new Array[Int](l.docs.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < l.docs.length) {
+      val d = l.docs(i)
+      while (j < deleted.length && deleted(j) < d) j += 1
+      if (j >= deleted.length || deleted(j) != d) { nd(o) = d; nt(o) = l.tfs(i); o += 1 }
+      i += 1
+    }
+    if (o == l.docs.length) l
+    else TermList(l.term, java.util.Arrays.copyOf(nd, o),
+      java.util.Arrays.copyOf(nt, o), l.blockMax, l.idfK1p1)
+  }
+
+  /** Positional twin of [[withoutDeleted]]: drops deleted docs and rebuilds
+    * the flat position array + offsets.
+    */
+  private[graft] def withoutDeletedPos(l: PosList, deleted: Array[Long]): PosList = {
+    if (deleted.isEmpty) return l
+    val keep = Array.newBuilder[Int]
+    var i = 0; var j = 0
+    while (i < l.docs.length) {
+      val d = l.docs(i)
+      while (j < deleted.length && deleted(j) < d) j += 1
+      if (j >= deleted.length || deleted(j) != d) keep += i
+      i += 1
+    }
+    val ks = keep.result()
+    if (ks.length == l.docs.length) return l
+    val nd = ks.map(l.docs)
+    val nt = ks.map(l.tfs)
+    val flatLen = nt.sum
+    val flat = new Array[Int](flatLen)
+    val off = new Array[Int](ks.length + 1)
+    var o = 0; var x = 0
+    while (x < ks.length) {
+      val src = ks(x)
+      val s = l.off(src); val e = l.off(src + 1)
+      System.arraycopy(l.flat, s, flat, o, e - s)
+      o += e - s
+      off(x + 1) = o
+      x += 1
+    }
+    PosList(l.term, nd, nt, flat, off)
+  }
+
+  /** Decode + merge a shard's tombstone segments into one sorted docId
+    * array (normally exactly one segment per shard).
+    */
+  private[graft] def decodeDeleted(del: Array[PostingSeg]): Array[Long] =
+    if (del.isEmpty) Array.emptyLongArray
+    else if (del.length == 1) Codec.decodeDeltas(del.head.docBytes, del.head.n)
+    else del.flatMap(s => Codec.decodeDeltas(s.docBytes, s.n)).distinct.sorted
 
   /** Cached per-term metadata: global doc frequency and the sorted shard set
     * holding the term (df == 0 ⇔ term absent from the index).
@@ -593,13 +723,15 @@ object Searcher {
                        lens: ShardLens, tokenSeq: Seq[String],
                        termsSorted: Seq[String], idfByTerm: Map[String, Double],
                        k1: Double, b: Double, avgdl: Double, k: Int,
-                       accScored: LongAccumulator = null): Iterator[Hit] = {
+                       accScored: LongAccumulator = null,
+                       deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     // candidates that survive the conjunctive intersection (i.e. reach the
     // adjacency check) — the same "scored" meaning search() reports
     var scored = 0L
     val lists: Array[PosList] =
-      termsSorted.map(t => decodePosList(t, segsByTerm(t))).toArray
+      termsSorted.map(t =>
+        withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray
     val byTerm = lists.map(l => l.term -> l).toMap
     val seqLists = tokenSeq.map(byTerm).toArray
     val byLen = lists.sortBy(_.docs.length)
@@ -694,10 +826,12 @@ object Searcher {
                  termsSorted: Seq[String], idfByTerm: Map[String, Double],
                  k1: Double, b: Double, avgdl: Double, k: Int,
                  accScored: LongAccumulator, accPruned: LongAccumulator,
-                 pruning: Boolean = true): Iterator[Hit] = {
+                 pruning: Boolean = true,
+                 deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     val lists: Array[TermList] = termsSorted.map(t =>
-      decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1)).toArray
+      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+        deleted)).toArray
     // rarest list leads the traversal (smallest-list-leads, the reference's
     // build-on-smaller-side trick, psi/utils/ec_point_store.cc:133-222)
     val byLen = lists.sortBy(_.docs.length)
@@ -781,10 +915,13 @@ object Searcher {
                    k1: Double, b: Double, avgdl: Double, k: Int,
                    accScored: LongAccumulator = null,
                    accPruned: LongAccumulator = null,
-                   pruning: Boolean = true): Iterator[Hit] = {
+                   pruning: Boolean = true,
+                   deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     val lists: Array[TermList] = termsSorted.filter(segsByTerm.contains).map(t =>
-      decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1)).toArray
+      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+        deleted)).toArray
+      .filter(_.docs.nonEmpty)
     if (lists.isEmpty) return Iterator.empty
     // per-list score ceiling: idf·(k1+1)·max over the list's block bounds
     // (admissible for every posting of the list); +inf disables pivoting
