@@ -312,6 +312,35 @@ object Bench {
       qsecs("bm25_filtered_p95") = pct(lat, 0.95)
     }
 
+    // prefix (wildcard) expansion + scoring latency
+    {
+      val pfx = Seq("util_1", "util_2", "util_3", "util_4", "sym_0")
+      pfx.foreach(p => searcher.searchPrefix(p, 10).collect())
+      val lat = pfx.map(p => timed(searcher.searchPrefix(p, 10).collect())._2).sorted
+      qsecs("bm25_prefix_p50") = pct(lat, 0.50)
+    }
+
+    // facet counts over the full conjunctive match set
+    {
+      searcher.searchFacets("import def util_7", "lang").collect()
+      qsecs("facet_counts") =
+        timed(searcher.searchFacets("import def util_7", "lang").collect())._2
+    }
+
+    // tombstoned query: 1% of docs deleted, AND query through the per-shard
+    // exclusion-list path (pruning off on affected shards by design)
+    {
+      import org.apache.spark.sql.functions.col
+      val tombs = s"$work/tombs.parquet"
+      val keys = spark.read.parquet(s"$work/index/docs.parquet")
+        .filter(col("docId") % 100 === 0).select("repo", "path", "commit")
+      graft.index.Tombstones.applyDeletes(spark, keys, Seq(s"$work/index"), tombs)
+      val sDel = new Searcher(spark, s"$work/index", tombstones = Some(tombs))
+      sDel.search("import def util_7", 10).collect()
+      qsecs("bm25_deleted") =
+        timed(sDel.search("import def util_7", 10).collect())._2
+    }
+
     // positional index: build-time overhead of storing positions, then
     // exact-phrase latency over it
     val (_, tPos) = timed {

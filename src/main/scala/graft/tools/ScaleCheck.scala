@@ -17,7 +17,13 @@ import graft.query.Searcher
   * be built with --positions) against the window-free phrase oracle. A query
   * prefixed `where:<sql-predicate>|` runs the metadata-filtered path
   * (searchWhere) against the predicate-restricted scalable oracle, e.g.
-  * `where:lang = 'scala'|import def`.
+  * `where:lang = 'scala'|import def`. A query prefixed `prefix:` runs the
+  * wildcard path (searchPrefix) against an INDEPENDENTLY-expanded OR oracle
+  * (completions recomputed from the raw corpus tokens with the same
+  * df-desc/term-asc/cap-64 rule). A query prefixed `del:` first tombstones
+  * every 5th doc and runs the deleted path (exclusion lists in the kernel)
+  * against the scalable oracle restricted to the survivors — Lucene
+  * semantics, so survivor scores must be bit-identical.
   * Exits 3 on mismatch.
   */
 object ScaleCheck {
@@ -39,22 +45,40 @@ object ScaleCheck {
       .select("docId", "content")
     var bad = false
     val docsMeta = spark.read.parquet(s"$indexDir/docs.parquet")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // del: mode — tombstone every 5th doc once, query through the exclusion
+    // path; the oracle is restricted to the survivors with FULL-corpus stats
+    lazy val delSearcher: Searcher = {
+      val path = java.nio.file.Files
+        .createTempDirectory("scalecheck-tombs").resolve("tombs.parquet").toString
+      val keys = docsMeta.filter($"docId" % 5 === 0)
+        .select("repo", "path", "commit")
+      val n = graft.index.Tombstones.applyDeletes(spark, keys, Seq(indexDir), path)
+      println(s"[scalecheck] tombstoned $n docs (docId % 5 == 0)")
+      new Searcher(spark, indexDir, tombstones = Some(path))
+    }
     for (raw <- queries) {
       val mode = if (raw.startsWith("or:")) "OR"
                  else if (raw.startsWith("phrase:")) "PHRASE"
-                 else if (raw.startsWith("where:")) "WHERE" else "AND"
+                 else if (raw.startsWith("where:")) "WHERE"
+                 else if (raw.startsWith("prefix:")) "PREFIX"
+                 else if (raw.startsWith("del:")) "DEL" else "AND"
       val (pred, q) =
         if (mode == "WHERE") {
           val body = raw.stripPrefix("where:")
           val i = body.indexOf('|')
           require(i > 0, s"where: query needs '<predicate>|<query>', got '$raw'")
           (body.take(i), body.drop(i + 1))
-        } else ("", raw.stripPrefix("or:").stripPrefix("phrase:"))
+        } else ("", raw.stripPrefix("or:").stripPrefix("phrase:")
+          .stripPrefix("prefix:").stripPrefix("del:"))
       val t0 = System.nanoTime()
       val hits = mode match {
         case "OR"     => searcher.searchOr(q, k)
         case "PHRASE" => searcher.searchPhrase(q, k)
-        case "WHERE"  => searcher.searchWhere(q, k, org.apache.spark.sql.functions.expr(pred))
+        case "WHERE"  => searcher.searchWhere(q, k, expr(pred))
+        case "PREFIX" => searcher.searchPrefix(q, k)
+        case "DEL"    => delSearcher.search(q, k)
         case _        => searcher.search(q, k)
       }
       val got = hits.collect().map(h => (h.docId, h.score))
@@ -63,8 +87,23 @@ object ScaleCheck {
       val want = (mode match {
         case "PHRASE" => OracleBm25.topKPhraseScalable(withId, q, k)
         case "WHERE"  => OracleBm25.topKScalable(withId, q, k, restrictTo =
-          Some(docsMeta.filter(org.apache.spark.sql.functions.expr(pred)).select("docId")))
-        case m        => OracleBm25.topKScalable(withId, q, k, conjunctive = m == "AND")
+          Some(docsMeta.filter(expr(pred)).select("docId")))
+        case "PREFIX" =>
+          // independent expansion: completions recomputed from the RAW
+          // corpus tokens (df desc, term asc, cap 64 — the same public rule)
+          val expansion = withId
+            .select(explode(array_distinct(
+              graft.index.Tokenize.termsCol($"content"))).as("tok"))
+            .filter($"tok".startsWith(q))
+            .groupBy("tok").agg(count(lit(1)).as("df"))
+            .orderBy($"df".desc, $"tok".asc).limit(64)
+            .select("tok").as[String].collect()
+          require(expansion.nonEmpty, s"prefix '$q' matches nothing in the corpus")
+          OracleBm25.topKScalable(withId, expansion.mkString(" "), k,
+            conjunctive = false)
+        case "DEL" => OracleBm25.topKScalable(withId, q, k, restrictTo =
+          Some(docsMeta.filter($"docId" % 5 =!= 0).select("docId")))
+        case m => OracleBm25.topKScalable(withId, q, k, conjunctive = m == "AND")
       }).collect().map(r => (r.getLong(0), r.getDouble(1)))
       val to = (System.nanoTime() - t1) / 1e9
       val ok = got.sameElements(want)
