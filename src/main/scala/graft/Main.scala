@@ -21,6 +21,7 @@ import graft.query.Searcher
   *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *          [--tombstones PATH]  (exclude deleted docs)
+  *          [--snippets CORPUS_DIR]  (print ±8-token context per hit)
   *   delete --index DIR [--deltas D1,D2] --keys PARQUET --tombstones PATH
   *          (tombstone docs by (repo, path, commit) keys — Lucene-style
   *          logical delete; `compact --tombstones` applies physically)
@@ -165,6 +166,16 @@ object Main {
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
+        opts.get("snippets").foreach { corpusDir =>
+          val files = spark.read.parquet(s"$corpusDir/files.parquet")
+          val t0 = System.nanoTime()
+          val rows = searcher.searchSnippets(q, k, files).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"query '$q' top-$k with snippets in $ms%.0f ms")
+          rows.foreach(r => println(
+            f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f  …${r.getString(2)}…"))
+          spark.stop(); return
+        }
         opts.get("facet").foreach { fc =>
           val t0 = System.nanoTime()
           val counts = searcher.searchFacets(q, fc).collect()

@@ -88,6 +88,10 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   /** Facet counts over the full conjunctive match set. */
   def queryFacets(q: String, facetCol: String) = searcher.searchFacets(q, facetCol)
 
+  /** Top-k with ±window-token snippets from the given corpus table. */
+  def querySnippets(q: String, k: Int, files: DataFrame, window: Int = 8) =
+    searcher.searchSnippets(q, k, files, window)
+
   /** Conjunctive top-k restricted by a docs-table metadata predicate. */
   def queryWhere(q: String, k: Int, predicate: org.apache.spark.sql.Column) =
     searcher.searchWhere(q, k, predicate)

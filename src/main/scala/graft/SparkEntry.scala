@@ -408,6 +408,17 @@ object SparkEntry {
         .searchFacets(Bm25Query, "lang")
     }),
 
+    "q_bm25_snippets" -> ((s, dir) => {
+      // top-k with a deterministic snippet: the ±8-token context around the
+      // FIRST occurrence of any query term (pure Column extraction; oracle
+      // recomputes the identical window from the raw text)
+      CorpusFixture.ensure(s)
+      val files = s.read.parquet(s"${CorpusFixture.corpusDir}/files.parquet")
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchSnippets(Bm25Query, 10, files)
+        .select(col("docId"), round(col("score"), 9).as("score"), col("snippet"))
+    }),
+
     "q_corpus_langs" -> ((s, dir) => {
       CorpusFixture.ensure(s)
       s.read.parquet(s"${CorpusFixture.corpusDir}/files.parquet")
@@ -995,6 +1006,41 @@ object SparkEntry {
          |  FROM s GROUP BY docid)
          |SELECT docid AS docId, round(raw, 9) AS score FROM agg
          |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // snippet oracle: the q_bm25_topk ranking joined back to the raw text,
+    // snippet = tokens[first-hit - 8 .. first-hit + 8] (identical
+    // tokenization and window rule as the engine's Column extraction)
+    "q_bm25_snippets" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      val firstPos = terms.map(t => s"nullif(list_position(toks, '$t'), 0)")
+        .mkString("least(", ", ", ")")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length}),
+         |top AS (SELECT docid, round($scoreSum, 9) AS score FROM agg
+         |  ORDER BY $scoreSum DESC, docid LIMIT 10),
+         |sn AS (SELECT top.docid, top.score,
+         |  regexp_extract_all(lower(d.content), '[a-z0-9_]+') AS toks
+         |  FROM top JOIN docs d ON top.docid = d.docid),
+         |pos AS (SELECT docid, score, toks, $firstPos AS firstpos FROM sn)
+         |SELECT docid AS docId, score,
+         |  array_to_string(toks[CAST(greatest(firstpos - 8, 1) AS BIGINT):CAST(greatest(firstpos - 8, 1) + 16 AS BIGINT)], ' ') AS snippet
+         |FROM pos ORDER BY score DESC, docId""".stripMargin
     },
 
     // facet counts over the full conjunctive match set

@@ -325,6 +325,31 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Top-k hits with a SNIPPET: the 2·window+1-token context around the
+    * FIRST occurrence of any query term in the document (the earliest
+    * position over all terms — deterministic, so an oracle can recompute it
+    * from the raw text). Content comes from the caller's corpus table
+    * (joined by composite key for the k hits only); the extraction is pure
+    * codegen'd Columns — tokenize, array_position per term, least, slice,
+    * concat_ws — no UDF, no driver loop.
+    */
+  def searchSnippets(query: String, k: Int, files: DataFrame,
+                     window: Int = 8): DataFrame = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val hits = search(query, k)
+    val withContent = hits.join(docs.select("docId", "repo", "path", "commit"), "docId")
+      .join(files, Seq("repo", "path", "commit"))
+    val toks = Tokenize.termsCol(col("content"))
+    val posCols = terms.map(t =>
+      when(array_position(toks, t) > 0, array_position(toks, t)))
+    val firstPos = if (posCols.length == 1) posCols.head else least(posCols: _*)
+    val start = greatest(firstPos - window, lit(1L))
+    withContent.select(col("docId"), col("score"),
+      concat_ws(" ",
+        slice(toks, start.cast("int"), lit(2 * window + 1))).as("snippet"))
+      .orderBy(desc("score"), asc("docId"))
+  }
+
   /** Hits hydrated with the document keys (join of the tiny top-k against the
     * docs table — broadcast-sized left side).
     */

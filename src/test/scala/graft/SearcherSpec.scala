@@ -67,6 +67,22 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.searchPrefix("zzqx_nada", 5).isEmpty)
   }
 
+  test("snippets: same ranking as search, window centered on the first hit") {
+    import org.apache.spark.sql.functions._
+    val q = "import def util_7"
+    val snips = searcher.searchSnippets(q, 5, files, window = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val plain = got(searcher.search(q, 5))
+    assert(snips.map(s => (s._1, s._2)).toSeq == plain.toSeq)
+    snips.foreach { case (_, _, sn) =>
+      val toks = sn.split(" ")
+      assert(toks.length <= 9, s"window overflow: '$sn'")
+      // the window contains at least one query term, and the first hit sits
+      // at the center unless clamped at the document start
+      assert(toks.exists(Set("import", "def", "util_7")), s"no query term in '$sn'")
+    }
+  }
+
   test("facet counts equal brute-force counts over the conjunctive match set") {
     import org.apache.spark.sql.functions._
     val q = "import def util_7"
