@@ -591,6 +591,26 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q_overlap_dups" -> ((s, dir) => {
+      // hash-checked DERIVED twin of q_overlap_pairs (winnow hash values
+      // are engine-specific, the guarantee is not): identical text →
+      // identical winnowed fingerprint set → an overlap pair is ALWAYS
+      // found; restricted to sha-equal pairs over a corpus augmented with
+      // constructed duplicates, the found set must equal exactly the
+      // constructed dup-pair set (same derivation as q_dedup_simhash_dups)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val sha = aug.select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      TextAnalysis.overlapPairs(aug, "doc_id", "text", minShared = 1)
+        .join(sha.select(col("doc_id").as("doc_a"), col("sha").as("sha_a")), "doc_a")
+        .join(sha.select(col("doc_id").as("doc_b"), col("sha").as("sha_b")), "doc_b")
+        .filter(col("sha_a") === col("sha_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ----------------------------------------------------------- multimodal
     "q_multimodal_stub" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"),
@@ -1248,6 +1268,17 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // winnow recall-on-duplicates: constructed exact dups must ALL surface
+    // as overlap pairs (identical fingerprint sets)
+    "q_overlap_dups" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // SimHash recall-at-distance-0: constructed exact dups (same augmentation
     // as the Spark side) must ALL be recovered by the banded pair join
