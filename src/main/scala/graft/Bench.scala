@@ -135,11 +135,34 @@ object Bench {
       if (!Files.isDirectory(dir)) None
       else {
         val s = Files.list(dir)
-        try {
+        val jar = try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.map(_.toString)
             .find(f => f.endsWith(".jar") && f.contains("psispark"))
         } finally s.close()
+        // freshness guard: the sbt `run` task repackages before Bench starts
+        // (build.sbt wires run -> packageBin), but a direct java invocation
+        // could find a stale jar — then phase 1 (the headline scaling
+        // record) would measure an OLD binary while phase 2 measures the
+        // new classes. Fall back to fork mode rather than mix binaries.
+        jar.filter { j =>
+          val classesDir = dir.resolve("classes")
+          val jarTime = Files.getLastModifiedTime(java.nio.file.Paths.get(j)).toMillis
+          val newestClass = {
+            val w = Files.walk(classesDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              w.iterator().asScala.filter(p => p.toString.endsWith(".class"))
+                .map(p => Files.getLastModifiedTime(p).toMillis)
+                .foldLeft(0L)(math.max)
+            } finally w.close()
+          }
+          val fresh = jarTime >= newestClass
+          if (!fresh) System.err.println("[bench] WARNING: packaged jar is " +
+            "older than compiled classes — falling back to forked local[n] " +
+            "scaling (run `sbt package` to use spark-submit local-cluster)")
+          fresh
+        }
       }
     }
     val useSubmit = submitBin.isDefined && appJar.isDefined
@@ -220,8 +243,12 @@ object Bench {
           else if (t0 > 6.0 * t1) cross(0)(i) = true // 2-core run stolen
         }
         if (levels.size >= 3) {
+          // true WITHIN-REP check: rep i's high run against rep i's low run
+          // (comparing against the global pooled min would flag every high
+          // run of a uniformly degraded window, silently collapsing the
+          // median/paired estimators to the single-min fallback)
           val t1 = raw(levels(1))(i); val t2 = raw(levels(2))(i)
-          if (t2 > 1.5 * math.min(t1, pooledMin(levels(1))))
+          if (t2 > 1.5 * t1)
             cross(2)(i) = true                       // high-core run stolen
         }
       }

@@ -166,6 +166,12 @@ object Main {
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
+        // snippets/facets internally use conjunctive (AND) matching — reject
+        // mode flags they would silently ignore instead of mis-answering
+        for (out <- Seq("snippets", "facet") if opts.contains(out);
+             mode <- Seq("or", "phrase", "prefix", "where") if opts.contains(mode))
+          sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
+            s"combined with --$mode")
         opts.get("snippets").foreach { corpusDir =>
           val files = spark.read.parquet(s"$corpusDir/files.parquet")
           val t0 = System.nanoTime()

@@ -625,8 +625,15 @@ object IndexBuilder {
     val committed = PartStore.listCommitted(partsDir, conf)
     require(committed == (0 until numParts).toSet,
       s"postings parts incomplete: ${committed.size} of $numParts committed")
-    val files = (0 until numParts).map(pid => PartStore.partPath(partsDir, pid))
-    val ds = spark.createDataset(files).repartition(files.size)
+    val files = (0 until numParts).map(pid =>
+      (pid, PartStore.partPath(partsDir, pid)))
+    // range-partition on the part id: n distinct ids into n partitions give
+    // a 1:1 (worst case contiguous-range) task→file mapping, so each output
+    // parquet file holds whole, ADJACENT hash-partitions — round-robin
+    // repartition(n) starts at a random offset and can double-book a task
+    val ds = spark.createDataset(files)
+      .repartitionByRange(files.size, $"_1")
+      .map(_._2)
     if (!positional)
       ds.mapPartitions(_.flatMap(PartStore.readPart))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
@@ -869,6 +876,7 @@ object IndexBuilder {
           // hash partitioning is attempt-deterministic, so a resumed reduce
           // task for a committed pid skips encoding entirely
           val partsDir = s"$indexDir/_postings_parts"
+          PartStore.pinScheme(partsDir, P, positional = false)
           val committed = spark.sparkContext.broadcast(
             PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
           if (committed.value.nonEmpty)
@@ -924,6 +932,7 @@ object IndexBuilder {
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           val partsDir = s"$indexDir/_postings_parts"
+          PartStore.pinScheme(partsDir, P, positional = true)
           val committed = spark.sparkContext.broadcast(
             PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
           if (committed.value.nonEmpty)

@@ -38,6 +38,31 @@ object PartStore {
 
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
+  /** Pin the partitioning scheme of a parts dir. The reduce partition
+    * count P decides which (term, shard) groups hash into which part, so
+    * parts written under two different P values (or positional-ness) must
+    * NEVER compose — a resume with a changed spark.sql.shuffle.partitions
+    * would otherwise pass the completeness check while duplicating every
+    * group whose old and new partition ids differ (silently doubled df,
+    * overlapping-segment crashes at query time). Written on the first
+    * attempt, REQUIRED identical on every resume.
+    */
+  def pinScheme(partsDir: String, p: Int, positional: Boolean): Unit = {
+    val conf = new Configuration()
+    val dir = new Path(partsDir)
+    val f = fs(dir, conf)
+    f.mkdirs(dir)
+    val name = s"_scheme_P${p}_pos$positional"
+    val existing = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("_scheme_")).sorted
+    if (existing.isEmpty) f.create(new Path(dir, name), true).close()
+    else require(existing.sameElements(Array(name)),
+      s"postings parts at $partsDir were written under scheme " +
+        s"${existing.mkString(",")} but this attempt uses $name — the " +
+        "hash-partition assignment would not line up; resume with the same " +
+        "buildPartitions/spark.sql.shuffle.partitions, or delete the parts dir")
+  }
+
   /** Partition ids with a committed part file under `partsDir`. */
   def listCommitted(partsDir: String, conf: Configuration): Set[Int] = {
     val dir = new Path(partsDir)

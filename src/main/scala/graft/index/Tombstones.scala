@@ -39,26 +39,49 @@ object Tombstones {
     val conf = spark.sessionState.newHadoopConf()
     val dst = new Path(tombstonePath)
     val fs = dst.getFileSystem(conf)
-    val merged =
-      if (fs.exists(dst))
-        resolved.unionByName(
-          spark.read.parquet(tombstonePath).select("docId", "shard")).distinct()
-      else resolved.distinct()
+    val merged = currentPath(fs, tombstonePath) match {
+      case Some(cur) => resolved.unionByName(
+        spark.read.parquet(cur.toString).select("docId", "shard")).distinct()
+      case None => resolved.distinct()
+    }
+    // crash-safe swap: the previous generation is RENAMED ASIDE (never
+    // deleted before the new one lands), so at every instant either the
+    // new file or the .bak generation exists — a crash between steps can
+    // lose at most the in-flight batch of deletes, never the history
     val tmp = new Path(tombstonePath + ".tmp")
+    val bak = new Path(tombstonePath + ".bak")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(tmp, dst), s"tombstone swap $tmp -> $dst failed")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst))
+      require(fs.rename(dst, bak), s"tombstone swap: $dst -> $bak failed")
+    require(fs.rename(tmp, dst), s"tombstone swap: $tmp -> $dst failed")
+    fs.delete(bak, true)
     spark.read.parquet(tombstonePath).count()
   }
 
-  /** The tombstoned docIds as a DataFrame (empty if the file is absent). */
+  /** The live tombstone generation: the main file, or the .bak generation
+    * if a crash interrupted a swap after the main file was renamed aside.
+    */
+  private def currentPath(fs: org.apache.hadoop.fs.FileSystem,
+                          tombstonePath: String): Option[Path] = {
+    val dst = new Path(tombstonePath)
+    val bak = new Path(tombstonePath + ".bak")
+    if (fs.exists(dst)) Some(dst)
+    else if (fs.exists(bak)) Some(bak)
+    else None
+  }
+
+  /** The tombstoned docIds as a DataFrame (empty if never created; falls
+    * back to the .bak generation after an interrupted swap).
+    */
   def read(spark: SparkSession, tombstonePath: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(tombstonePath)
-    if (p.getFileSystem(conf).exists(p)) spark.read.parquet(tombstonePath)
-    else {
-      import spark.implicits._
-      Seq.empty[(Long, Int)].toDF("docId", "shard")
+    val fs = new Path(tombstonePath).getFileSystem(conf)
+    currentPath(fs, tombstonePath) match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None =>
+        import spark.implicits._
+        Seq.empty[(Long, Int)].toDF("docId", "shard")
     }
   }
 }

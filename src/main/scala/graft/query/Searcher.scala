@@ -79,7 +79,6 @@ class Searcher(spark: SparkSession, indexDir: String,
     * same discipline as delta indexes); compaction restores pruning.
     */
   private lazy val tombstoneDf = tombstones.map(p => spark.read.parquet(p))
-  private val hasTombstones = tombstones.isDefined
 
   /** One exclusion segment per candidate shard, carrying the shard's sorted
     * deleted docIds through the cogroup under [[Searcher.DeletedTerm]].

@@ -90,16 +90,20 @@ object ScaleCheck {
           Some(docsMeta.filter(expr(pred)).select("docId")))
         case "PREFIX" =>
           // independent expansion: completions recomputed from the RAW
-          // corpus tokens (df desc, term asc, cap 64 — the same public rule)
+          // corpus tokens (df desc, term asc, cap 64 — the same public
+          // rule), with the same tokenizer normalization the engine applies
+          // to the prefix itself; an empty expansion is a legitimate
+          // compare (engine must be empty too), not an abort
+          val normPrefix = graft.index.Tokenize.tokenize(q).headOption.getOrElse(q)
           val expansion = withId
             .select(explode(array_distinct(
               graft.index.Tokenize.termsCol($"content"))).as("tok"))
-            .filter($"tok".startsWith(q))
+            .filter($"tok".startsWith(normPrefix))
             .groupBy("tok").agg(count(lit(1)).as("df"))
             .orderBy($"df".desc, $"tok".asc).limit(64)
             .select("tok").as[String].collect()
-          require(expansion.nonEmpty, s"prefix '$q' matches nothing in the corpus")
-          OracleBm25.topKScalable(withId, expansion.mkString(" "), k,
+          if (expansion.isEmpty) spark.emptyDataset[graft.Hit].toDF()
+          else OracleBm25.topKScalable(withId, expansion.mkString(" "), k,
             conjunctive = false)
         case "DEL" => OracleBm25.topKScalable(withId, q, k, restrictTo =
           Some(docsMeta.filter($"docId" % 5 =!= 0).select("docId")))

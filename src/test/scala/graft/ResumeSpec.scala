@@ -171,6 +171,23 @@ class ResumeSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("per-partition resume with a CHANGED partition count fails loudly (scheme pin)") {
+    val (corpusDir, _) = TestSpark.builtIndex
+    val rDir = s"${TestSpark.workDir}/index_partres_scheme"
+    val stopped = IndexBuilder.buildFast(spark, corpusDir, rDir,
+      IndexConfig(docsPerShard = 256, buildPartitions = 8,
+        partitionedResume = true, stopAfterStage = "postings_parts"))
+    assert(stopped == null)
+    // resuming under a different P would compose parts from two hash
+    // schemes — every group whose old/new partition ids differ duplicated
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.buildFast(spark, corpusDir, rDir,
+        IndexConfig(docsPerShard = 256, buildPartitions = 16,
+          partitionedResume = true))
+    }
+    assert(ex.getMessage.contains("scheme"))
+  }
+
   test("resume with a CHANGED corpus fails loudly (corpus-vs-artifact consistency)") {
     import spark.implicits._
     val dir = s"${TestSpark.workDir}/drift_corpus"
