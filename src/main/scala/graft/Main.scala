@@ -167,9 +167,14 @@ object Main {
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         // snippets/facets internally use conjunctive (AND) matching — reject
-        // mode flags they would silently ignore instead of mis-answering
+        // mode flags they would silently ignore instead of mis-answering;
+        // check the PARSED value, not flag presence (`--or false` is not a
+        // conflicting mode)
+        val activeModes = Seq(
+          "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
+          "where" -> whereExpr.exists(_.nonEmpty)).collect { case (m, true) => m }
         for (out <- Seq("snippets", "facet") if opts.contains(out);
-             mode <- Seq("or", "phrase", "prefix", "where") if opts.contains(mode))
+             mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
             s"combined with --$mode")
         opts.get("snippets").foreach { corpusDir =>

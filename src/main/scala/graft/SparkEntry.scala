@@ -538,6 +538,47 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_lsh_top1" -> ((s, dir) => {
+      // hash-checked DERIVED twin for lshTopK itself: plant an exact copy
+      // of every query vector in the corpus (id+1_000_000) — identical
+      // vectors share every table's bucket code, so the copy is ALWAYS a
+      // candidate, scores cos=1 (the Cauchy-Schwarz maximum), and wins
+      // rank 1 under the (cos desc, id asc) tiebreak; the oracle writes the
+      // expected top-1 rows down in closed form
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < 3)
+      val aug = e.unionByName(
+        q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.lshTopK(aug, q, "vec_id", "embedding", k = 3)
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id")
+    }),
+
+    "q_ann_lsh_dups" -> ((s, dir) => {
+      // hash-checked DERIVED twin of the (engine-specific-hash) LSH path,
+      // same trick as q_dedup_simhash_dups: the embeddings are augmented
+      // with constructed exact-duplicate vectors (every 10th copied under
+      // id+1_000_000); identical vectors project identically on EVERY
+      // hyperplane, so every table assigns them the same bucket code and
+      // the pair is ALWAYS found — recall at cos=1 is deterministic.
+      // Restricting the found pairs to identical-vector pairs makes the
+      // DuckDB array-equality self-join the exact oracle (and if the base
+      // table happened to carry identical vectors, both sides include them).
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val aug = e.unionByName(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.lshNearDupPairs(aug, "vec_id", "embedding",
+        minCos = 0.999, numPlanes = 8, numTables = 2)
+        .join(aug.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+        .join(aug.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+        .filter(col("va") === col("vb"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // IVF-flat scale path (inverted lists from trained centroids); with
       // nprobe = nlist the probe covers every list, so the result equals the
@@ -621,6 +662,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q_multimodal_real" -> ((s, dir) => {
+      // REAL container-header decode: synthesizeMediaReal emits structurally
+      // valid PNG/JPEG/WAV bytes with id-derived dimensions/duration, and
+      // decodeMedia parses them back from the actual byte format (IHDR,
+      // SOFn scan, RIFF chunk walk) — the oracle recomputes every field
+      // (including total byte size) from the id formulas
+      val media = Multimodal.synthesizeMediaReal(t(s, dir, "documents"),
+        "doc_id", "source")
+      Multimodal.extractFeaturesReal(s, media)
+        .select("media_id", "modality", "n_bytes", "width", "height",
+          "duration_ms")
+        .orderBy("media_id")
+    }),
+
     // ------------------------------------------------------------ streaming
     "q_stream_window" -> ((s, dir) => {
       EventStream.windowedEventAgg(s, dir)
@@ -639,6 +694,17 @@ object SparkEntry {
 
     "q_stream_users" -> ((s, dir) => {
       EventStream.perUserActivity(s, dir)
+        .withColumn("win_start", col("win_start").cast("long"))
+        .select("user_id", "win_start", "n")
+        .orderBy("user_id", "win_start")
+    }),
+
+    "q_stream_users_append" -> ((s, dir) => {
+      // append-mode + watermark-eviction twin of q_stream_users — the
+      // bounded-state scale shape; emits exactly the (user, window) groups
+      // the final watermark (max ts - 30 min) closed, oracle restricted
+      // identically
+      EventStream.perUserActivityAppend(s, dir)
         .withColumn("win_start", col("win_start").cast("long"))
         .select("user_id", "win_start", "n")
         .orderBy("user_id", "win_start")
@@ -1291,6 +1357,25 @@ object SparkEntry {
         |FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // lshTopK recall-at-cos=1: every query's planted exact copy must win
+    // rank 1 with cos=1 — the expected top-1 set in closed form
+    "q_ann_lsh_top1" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS neighbor_id,
+        |CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 3 ORDER BY query_id""".stripMargin,
+
+    // LSH recall-at-cos=1: constructed exact-duplicate vectors must ALL be
+    // recovered by the hyperplane-bucket pair join (identical vector →
+    // identical code in every table); oracle = array-equality self-join
+    "q_ann_lsh_dups" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM aug a JOIN aug b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1298,6 +1383,18 @@ object SparkEntry {
         |CAST(64 + octet_length(encode(text)) % 576 AS INT) AS fake_width,
         |CAST(64 + (octet_length(encode(text)) // 7) % 296 AS INT) AS fake_height,
         |CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1000 + octet_length(encode(text)) % 59000 END AS INT) AS fake_duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // real header decode: every field recomputable from the id formulas in
+    // Multimodal.synthesizeMediaReal (png=45 B fixed, jpeg=17 B fixed,
+    // wav=44 B header + 2 B/sample at 1000 Hz mono 16-bit)
+    "q_multimodal_real" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS modality,
+        |CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 44 + 2000 * (1 + doc_id % 30) ELSE 17 END AS INT) AS n_bytes,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + doc_id % 576 END AS INT) AS width,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + doc_id % 296 END AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 3 = 1 THEN 1000 * (1 + doc_id % 30) ELSE 0 END AS INT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_stream_window" ->
@@ -1320,6 +1417,16 @@ object SparkEntry {
     "q_stream_users" ->
       """SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
         |count(*) AS n FROM events GROUP BY 1, 2 ORDER BY user_id, win_start""".stripMargin,
+
+    // append-mode twin: the same per-user windows restricted to those the
+    // final watermark (max ts - 30 min) has CLOSED — Spark evicts/emits a
+    // window when window.end <= watermark
+    "q_stream_users_append" ->
+      """SELECT user_id, win_start, n FROM (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start,
+        |  count(*) AS n FROM events GROUP BY 1, 2)
+        |WHERE win_start + 3600 <= (SELECT epoch(max(ts)) - 1800 FROM events)
+        |ORDER BY user_id, win_start""".stripMargin,
 
     // gap-sessionization oracle: classic lag + cumulative break-flag session
     // ids; session end = last event + gap (Spark merged-session semantics);

@@ -384,8 +384,12 @@ object IndexBuilder {
       else {
         val r = spark.read.parquet(s"$outDir/docs.parquet")
           .agg(count(lit(1)), sum($"dlen".cast("long"))).head()
-        (r.getLong(0), r.getLong(1))
+        // sum() over zero rows is NULL — guard before getLong
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
+    require(numDocs > 0, "all documents are deleted — compaction would " +
+      "produce an empty index (avgdl undefined); drop the index instead " +
+      "of compacting it")
     val avgdl = totalTokens.toDouble / numDocs
 
     if (tombstoneDf.isEmpty) {
@@ -556,6 +560,21 @@ object IndexBuilder {
     val meta = IndexMeta(numDocs, totalTokens, avgdl, k1, b, base.docsPerShard,
       numTerms, numSegments, base.fingerprint)
     Metrics.writeMetaJson(s"$outDir/meta.json", meta)
+    // the tombstones are now physically applied in outDir — retire the file
+    // (rename aside, never silently reused against the compacted index where
+    // the docIds it names no longer exist in any posting run); the .applied
+    // generation is kept for audit. Only after meta.json: a crash before the
+    // publish marker leaves the tombstones live for the still-current base.
+    tombstonePath.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(p)
+      val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+      val applied = new org.apache.hadoop.fs.Path(p + ".applied")
+      if (fs.exists(applied)) fs.delete(applied, true)
+      if (fs.exists(dst)) require(fs.rename(dst, applied),
+        s"tombstone retirement: $dst -> $applied failed")
+      val bak = new org.apache.hadoop.fs.Path(p + ".bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
     meta
   }
 
@@ -876,7 +895,7 @@ object IndexBuilder {
           // hash partitioning is attempt-deterministic, so a resumed reduce
           // task for a committed pid skips encoding entirely
           val partsDir = s"$indexDir/_postings_parts"
-          PartStore.pinScheme(partsDir, P, positional = false)
+          PartStore.pinScheme(partsDir, P, positional = false, cfg.fingerprint)
           val committed = spark.sparkContext.broadcast(
             PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
           if (committed.value.nonEmpty)
@@ -932,7 +951,7 @@ object IndexBuilder {
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           val partsDir = s"$indexDir/_postings_parts"
-          PartStore.pinScheme(partsDir, P, positional = true)
+          PartStore.pinScheme(partsDir, P, positional = true, cfg.fingerprint)
           val committed = spark.sparkContext.broadcast(
             PartStore.listCommitted(partsDir, spark.sessionState.newHadoopConf()))
           if (committed.value.nonEmpty)

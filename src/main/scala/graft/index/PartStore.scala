@@ -44,15 +44,21 @@ object PartStore {
     * NEVER compose — a resume with a changed spark.sql.shuffle.partitions
     * would otherwise pass the completeness check while duplicating every
     * group whose old and new partition ids differ (silently doubled df,
-    * overlapping-segment crashes at query time). Written on the first
-    * attempt, REQUIRED identical on every resume.
+    * overlapping-segment crashes at query time). The marker also carries
+    * the IndexConfig FINGERPRINT: part contents embed config-derived values
+    * (docsPerShard decides shard assignment, k1/b bake into block-max
+    * norms), so parts from an attempt with a different config must not be
+    * reused even when P matches — they would compose stale shard geometry
+    * and inadmissible pruning bounds into the published index. Written on
+    * the first attempt, REQUIRED identical on every resume.
     */
-  def pinScheme(partsDir: String, p: Int, positional: Boolean): Unit = {
+  def pinScheme(partsDir: String, p: Int, positional: Boolean,
+                cfgFingerprint: String): Unit = {
     val conf = new Configuration()
     val dir = new Path(partsDir)
     val f = fs(dir, conf)
     f.mkdirs(dir)
-    val name = s"_scheme_P${p}_pos$positional"
+    val name = s"_scheme_P${p}_pos${positional}_cfg${cfgFingerprint.take(16)}"
     val existing = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("_scheme_")).sorted
     if (existing.isEmpty) f.create(new Path(dir, name), true).close()

@@ -205,4 +205,32 @@ object EventStream {
       .select(col("user_id"), col("window.start").as("win_start"), col("n"))
       .orderBy("user_id", "win_start")
   }
+
+  /** The APPEND-MODE twin of [[perUserActivity]] — same construction as
+    * [[windowedEventAggAppend]]: complete-mode + memory sink re-emits (and
+    * driver-holds) the ENTIRE per-user aggregate each batch, fine only as a
+    * local smoke gate; with append mode the watermark EVICTS each (user,
+    * window) group's state once it passes the window end and emits it
+    * exactly once, so state is bounded by the watermark horizon regardless
+    * of stream length. Windows still open at end-of-input (end > max ts -
+    * 30 min) are absent by design; the driver gate's oracle applies the
+    * same watermark-closed restriction in SQL.
+    */
+  def perUserActivityAppend(spark: SparkSession, sfDir: String,
+                            watermark: String = "30 minutes"): DataFrame = {
+    val agg = readEvents(spark, sfDir)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), approx_count_distinct("event_type").as("kinds"))
+    val name = s"stream_users_append_${counter.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      awaitEvictionBatch(q, "perUserActivityAppend")
+    } finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("window.start").as("win_start"), col("n"))
+      .orderBy("user_id", "win_start")
+  }
 }

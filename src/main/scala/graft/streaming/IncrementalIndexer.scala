@@ -153,11 +153,22 @@ object IncrementalIndexer {
 
   /** Start watching `watchDir` for new parquet corpus files; each micro-batch
     * becomes a committed delta under `deltasDir`.
+    *
+    * `maxFilesPerTrigger` bounds a micro-batch so a BULK drop into the watch
+    * directory (a backfill, a re-sync) cannot form one giant batch: indexBatch
+    * assigns in-batch docIds with a batch-local unpartitioned window — correct
+    * but serial — so the batch size cap is what keeps that stage bounded; the
+    * file source simply splits the drop into several ordinary micro-batches
+    * (StreamingIndexSpec asserts a multi-batch ingest stays bit-exact vs a
+    * full rebuild).
     */
   def start(spark: SparkSession, watchDir: String, baseDir: String,
-            deltasDir: String, cfg: IndexConfig = IndexConfig()): StreamingQuery = {
+            deltasDir: String, cfg: IndexConfig = IndexConfig(),
+            maxFilesPerTrigger: Int = 64): StreamingQuery = {
     val schema = org.apache.spark.sql.Encoders.product[FileRow].schema
-    spark.readStream.schema(schema).parquet(watchDir)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(watchDir)
       .writeStream
       .option("checkpointLocation", s"$deltasDir/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

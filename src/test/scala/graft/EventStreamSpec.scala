@@ -90,6 +90,23 @@ class EventStreamSpec extends AnyFunSuite {
         s"${append.size} vs ${closed.size}")
   }
 
+  test("per-user windows: append-mode stream == complete restricted to watermark-closed windows") {
+    val complete = EventStream.perUserActivity(spark, eventsDir)
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val append = EventStream.perUserActivityAppend(spark, eventsDir)
+      .as[(Long, Timestamp, Long)].collect().toSet
+    // final watermark = max ts - 30 min; append emits (user, window) groups
+    // with end (= start + 1 h) <= watermark
+    val maxTs = ts(48.0).getTime
+    val closed = complete.filter(_._2.getTime + 3600 * 1000L <=
+      maxTs - 30 * 60 * 1000L)
+    assert(closed.nonEmpty && closed != complete,
+      "fixture must have both closed and open per-user windows")
+    assert(append == closed,
+      s"append-mode per-user windows must equal the watermark-closed set: " +
+        s"${append.size} vs ${closed.size}")
+  }
+
   test("flatMapGroupsWithState running totals == batch groupBy") {
     val got = EventStream.statefulUserTotals(spark, eventsDir)
       .as[(Long, Long, Double)].collect().toSet

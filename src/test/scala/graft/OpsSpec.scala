@@ -333,4 +333,45 @@ class OpsSpec extends AnyFunSuite {
     assert(f1(0).n_bytes == 9 && f1(1).n_bytes == 10)
     assert(f1(0).modality == "audio" && f1(1).modality == "video")
   }
+
+  test("multimodal REAL header decode: PNG IHDR, JPEG SOFn, WAV RIFF chunks") {
+    val d = (0L until 9L).map(i => (i, s"src$i")).toDF("doc_id", "source")
+    val media = Multimodal.synthesizeMediaReal(d, "doc_id", "source")
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val f = Multimodal.extractFeaturesReal(spark, media)
+      .collect().sortBy(_.media_id)
+    for (r <- f) {
+      val id = r.media_id
+      (id % 3) match {
+        case 0 =>
+          assert(r.modality == "png" && r.n_bytes == 45 && r.duration_ms == 0)
+          assert(r.width == 64 + (id % 576).toInt && r.height == 64 + (id % 296).toInt)
+        case 1 =>
+          val samples = (1000 * (1 + id % 30)).toInt
+          assert(r.modality == "wav" && r.n_bytes == 44 + 2 * samples)
+          assert(r.width == 0 && r.height == 0)
+          assert(r.duration_ms == 1000 * (1 + id % 30))
+        case _ =>
+          assert(r.modality == "jpeg" && r.n_bytes == 17 && r.duration_ms == 0)
+          assert(r.width == 64 + (id % 576).toInt && r.height == 64 + (id % 296).toInt)
+      }
+    }
+    // the JPEG parser really SCANS markers (doesn't assume SOF at offset 2):
+    // prepend an APP0 segment before SOF0 and it must still find the frame
+    val jfif = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xe0.toByte, 0, 4, 0x4a, 0x46) ++
+      Multimodal.jpegBytes(100, 50).drop(2)
+    val viaApp0 = Multimodal.decodeMedia(
+      Multimodal.MediaRow(99L, "jpeg", jfif, "s"))
+    assert(viaApp0.width == 100 && viaApp0.height == 50)
+    // PNG dimensions are read from IHDR, not synthesized metadata
+    val png = Multimodal.decodeMedia(
+      Multimodal.MediaRow(98L, "png", Multimodal.pngBytes(1920, 1080), "s"))
+    assert(png.width == 1920 && png.height == 1080)
+    // torn/unknown containers FAIL loudly instead of decoding as zeros
+    intercept[RuntimeException] {
+      Multimodal.decodeMedia(Multimodal.MediaRow(97L, "???",
+        Array[Byte](1, 2, 3, 4, 5), "s"))
+    }
+  }
 }

@@ -188,6 +188,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("scheme"))
   }
 
+  test("per-partition resume with a CHANGED config fails loudly (fingerprint in scheme pin)") {
+    val (corpusDir, _) = TestSpark.builtIndex
+    val rDir = s"${TestSpark.workDir}/index_partres_cfg"
+    val stopped = IndexBuilder.buildFast(spark, corpusDir, rDir,
+      IndexConfig(docsPerShard = 256, buildPartitions = 8,
+        partitionedResume = true, stopAfterStage = "postings_parts"))
+    assert(stopped == null)
+    // same P, different docsPerShard: the committed parts carry the OLD
+    // shard assignment and block-max norms — reusing them would compose
+    // stale geometry into the published index, so the scheme pin (which
+    // carries the config fingerprint) must reject the resume
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.buildFast(spark, corpusDir, rDir,
+        IndexConfig(docsPerShard = 128, buildPartitions = 8,
+          partitionedResume = true))
+    }
+    assert(ex.getMessage.contains("scheme"))
+  }
+
   test("resume with a CHANGED corpus fails loudly (corpus-vs-artifact consistency)") {
     import spark.implicits._
     val dir = s"${TestSpark.workDir}/drift_corpus"

@@ -122,6 +122,37 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(searcher.candidatesPruned.value >= 0)
   }
 
+  test("bulk drop splits into bounded micro-batches (maxFilesPerTrigger), still oracle-exact") {
+    val (base, _, full) = env
+    val work = s"${TestSpark.workDir}/incremental_bulk"
+    val tail = full
+      .withColumn("__id", regexp_extract(col("path"), "f(\\d+)\\.", 1).cast("long"))
+      .filter(col("__id") >= 1400)
+    // 6 separate single-file arrivals dropped at once — with
+    // maxFilesPerTrigger=2 the file source must form >= 3 micro-batches,
+    // so the batch-local docId window never sees more than 2 files' rows
+    for (g <- 0 until 6)
+      tail.filter(col("__id") % 6 === g).drop("__id")
+        .coalesce(1).write.mode("append").parquet(s"$work/arrivals")
+    val q = IncrementalIndexer.start(spark, s"$work/arrivals", base,
+      s"$work/deltas", IndexConfig(docsPerShard = 256), maxFilesPerTrigger = 2)
+    try q.processAllAvailable() finally q.stop()
+    val deltas = IncrementalIndexer.deltaDirs(s"$work/deltas")
+    assert(deltas.size >= 3, s"expected >= 3 bounded micro-batches, got ${deltas.size}")
+    val searcher = new Searcher(spark, base, deltas)
+    assert(searcher.meta.numDocs == 2000)
+    for (qs <- Seq("import val", "util_7 import")) {
+      val got = searcher.searchDocs(qs, 10).collect()
+        .map(r => (r.getAs[Double]("score"),
+          r.getAs[String]("repo") + "/" + r.getAs[String]("path")))
+      val want = oracleKeyed(qs, 10)
+      assert(got.map(_._1).toSeq == want.map(_._1).toSeq, s"scores differ for '$qs'")
+      val gotBy = got.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      val wantBy = want.groupBy(_._1).map { case (s, v) => s -> v.map(_._2).toSet }
+      assert(gotBy == wantBy, s"key sets differ for '$qs'")
+    }
+  }
+
   test("restart is idempotent: recommitting the last batch changes nothing") {
     val (base, deltas, _) = env
     val batchDir = deltas.last

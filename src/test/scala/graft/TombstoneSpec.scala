@@ -135,5 +135,24 @@ class TombstoneSpec extends AnyFunSuite {
       .join(spark.read.parquet(s"$outDir/docs.parquet"), "docId")
       .select("repo", "path").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(gk == w.map(t => (t._1, t._2)).toSet)
+    // the applied tombstones retired with the parts they covered: the live
+    // file is gone (nothing to mistakenly reuse), the audit copy remains
+    val fs = new org.apache.hadoop.fs.Path(tombstonePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tombstonePath)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tombstonePath + ".applied")))
+    assert(Tombstones.read(spark, tombstonePath).isEmpty)
+  }
+
+  test("compacting with every document deleted fails loudly") {
+    val path = s"${TestSpark.workDir}/tombstones_all.parquet"
+    val allKeys = spark.read.parquet(s"$indexDir/docs.parquet")
+      .select("repo", "path", "commit")
+    Tombstones.applyDeletes(spark, allKeys, Seq(indexDir), path)
+    val ex = intercept[IllegalArgumentException] {
+      IndexBuilder.compact(spark, indexDir, Nil,
+        s"${TestSpark.workDir}/index_compact_empty", Some(path))
+    }
+    assert(ex.getMessage.contains("all documents are deleted"))
   }
 }
