@@ -166,13 +166,15 @@ object Main {
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
+        val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         // snippets/facets internally use conjunctive (AND) matching — reject
         // mode flags they would silently ignore instead of mis-answering;
         // check the PARSED value, not flag presence (`--or false` is not a
         // conflicting mode)
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
-          "where" -> whereExpr.exists(_.nonEmpty)).collect { case (m, true) => m }
+          "where" -> whereExpr.exists(_.nonEmpty),
+          "not" -> notExpr.nonEmpty).collect { case (m, true) => m }
         for (out <- Seq("snippets", "facet") if opts.contains(out);
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -199,10 +201,11 @@ object Main {
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (orMode) searcher.searchOr(q, k)
-                    else whereExpr match {
-                      case Some(w) => searcher.searchWhere(q, k,
+                    else (notExpr, whereExpr) match {
+                      case (Some(ne), _) => searcher.searchNot(q, ne, k)
+                      case (None, Some(w)) => searcher.searchWhere(q, k,
                         org.apache.spark.sql.functions.expr(w))
-                      case None => searcher.search(q, k)
+                      case (None, None) => searcher.search(q, k)
                     }).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
@@ -214,10 +217,11 @@ object Main {
           val oracleDf =
             if (phraseMode) OracleBm25.topKPhrase(files, q, k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
-            else whereExpr match {
-              case Some(w) => OracleBm25.topKWhere(files, q, k,
+            else (notExpr, whereExpr) match {
+              case (Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
+              case (None, Some(w)) => OracleBm25.topKWhere(files, q, k,
                 org.apache.spark.sql.functions.expr(w))
-              case None => OracleBm25.topK(files, q, k)
+              case (None, None) => OracleBm25.topK(files, q, k)
             }
           val want = oracleDf.collect()
             .map(r => (r.getLong(0), r.getDouble(1)))

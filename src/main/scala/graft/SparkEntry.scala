@@ -389,6 +389,17 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_not" -> ((s, dir) => {
+      // negated-term query (import def util_7 AND NOT val AND NOT zzqx…):
+      // negative posting lists ride the tombstone exclusion mechanism;
+      // survivors keep bit-identical full-corpus scores; the absent
+      // negative term must be a no-op
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchNot(Bm25Query, "val zzqx_nothing", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_prefix" -> ((s, dir) => {
       // wildcard `util_1*`: dictionary range expansion (df desc, term asc,
       // cap 64) → disjunctive WAND scoring over the completions; the oracle
@@ -1042,6 +1053,33 @@ object SparkEntry {
          |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |WHERE docid % 7 <> 0
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // NOT-query oracle: identical full-corpus statistics and per-term scores
+    // as q_bm25_topk, docs containing the live negative term dropped from
+    // the candidate set (the absent negative term excludes nothing)
+    "q_bm25_not" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE docid NOT IN (SELECT docid FROM tf WHERE tok IN ('val', 'zzqx_nothing'))
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
 

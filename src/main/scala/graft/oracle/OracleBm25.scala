@@ -120,6 +120,23 @@ object OracleBm25 {
   }
 
   /** Top-k AND query restricted to docs satisfying a metadata predicate. */
+  /** Top-k for a conjunctive query with NEGATED terms: docs containing any
+    * `exclude` term are dropped from the candidate set; scores/statistics
+    * are the full-corpus ones (Lucene NOT semantics — matches
+    * `Searcher.searchNot`).
+    */
+  def topKNot(files: DataFrame, query: String, exclude: String, k: Int,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val negTerms = graft.index.Tokenize.tokenize(exclude).distinct
+    if (negTerms.isEmpty) return topK(files, query, k, k1, b)
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val keep = withId.filter(!negTerms
+      .map(t => array_contains(Tokenize.termsCol(col("content")), t))
+      .reduce(_ || _)).select("docId")
+    topKImpl(files, query, k, k1, b, conjunctive = true, restrictTo = Some(keep))
+  }
+
   def topKWhere(files: DataFrame, query: String, k: Int,
                 predicate: org.apache.spark.sql.Column,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {

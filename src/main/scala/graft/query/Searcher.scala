@@ -207,6 +207,65 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Conjunctive top-k BM25 with NEGATED terms (`a AND b AND NOT c…`):
+    * candidates must contain every `query` term and NO `exclude` term.
+    * Each negative term's posting list (restricted to the candidate shards
+    * by the same pushed `term IN`/`shard IN` filters) rides the per-shard
+    * EXCLUSION mechanism tombstoned documents use — `decodeDeleted` merges
+    * the lists — so the scoring kernel is unchanged: survivors' scores are
+    * bit-identical to the plain conjunctive query (negative terms carry no
+    * score mass; positive statistics stay full-corpus — Lucene's NOT
+    * semantics). Block-max pruning switches off only on shards that hold a
+    * negative posting (same admissibility discipline as deletions); a term
+    * that is both positive and negative is unsatisfiable → empty result.
+    * A 100 TB note: a hot negative term costs its list decode in candidate
+    * shards — unavoidable under exact NOT semantics (Lucene pays the same).
+    */
+  def searchNot(query: String, exclude: String, k: Int): Dataset[Hit] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val negAll = Tokenize.tokenize(exclude).distinct.sorted
+    if (terms.isEmpty || negAll.exists(terms.contains))
+      return spark.emptyDataset[Hit]
+    val info = lookupTerms(terms ++ negAll)
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
+    val neg = negAll.filter(t => info(t).df > 0L) // absent negatives: no-ops
+    val idfByTerm: Map[String, Double] =
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+
+    val negSegs: Dataset[PostingSeg] =
+      if (neg.isEmpty) spark.emptyDataset[PostingSeg]
+      else postings.filter($"term".isin(neg: _*) &&
+        $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+        .map(_.copy(term = Searcher.DeletedTerm, sumTf = 0L))
+    val segsC = postings.filter($"term".isin(terms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
+      .unionByName(negSegs, allowMissingColumns = true)
+      .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val termsSorted = terms
+    val pruning = usePruning
+    val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
+        if (segsByTerm.size < termsSorted.length || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShard(segsByTerm, Searcher.mergeLens(lenIt), termsSorted,
+            idfByTerm, k1, b, avgdl, k, accS, accP,
+            pruning && deleted.isEmpty, deleted)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Conjunctive top-k BM25 restricted to documents satisfying a metadata
     * predicate over the docs table (`lang`, `repo`, `path`, …). The filter's
     * docId set rides the SAME galloping intersection as the query terms:

@@ -116,6 +116,30 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("NOT queries (searchNot) are rank-identical to the negated oracle") {
+    for ((q, ne) <- Seq(("import def util_7", "val"),
+                        ("import def", "util_7 class"),
+                        ("import val", "zzqx_nothing"))) {
+      val g = got(searcher.searchNot(q, ne, 10))
+      val w = OracleBm25.topKNot(files, q, ne, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(g.toSeq == w.toSeq, s"query '$q' NOT '$ne'")
+      // non-vacuous: a live negative term must actually change the ranking
+      if (ne != "zzqx_nothing")
+        assert(g.toSeq != got(searcher.search(q, 10)).toSeq,
+          s"'$ne' removed nothing from '$q' — fixture not exercising NOT")
+      // survivor scores bit-identical to the plain conjunctive query
+      // (k beyond the match count returns every match)
+      val plain = got(searcher.search(q, 100000)).toMap
+      assert(g.forall { case (d, s) => plain(d) == s })
+    }
+    // an absent negative term is a NO-OP, not an error
+    assert(got(searcher.searchNot("import def", "zzqx_nothing", 10)).toSeq ==
+      got(searcher.search("import def", 10)).toSeq)
+    // t AND NOT t is unsatisfiable
+    assert(searcher.searchNot("import def", "def", 10).isEmpty)
+  }
+
   test("filtered search (searchWhere) is rank-identical to the restricted oracle") {
     import org.apache.spark.sql.functions.col
     for ((q, pred, predName) <- Seq(
