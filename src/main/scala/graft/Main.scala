@@ -17,6 +17,7 @@ import graft.query.Searcher
   *          [--fast true]       (fused fast-path build; implied by positions)
   *          [--partResume true] (per-partition postings commit/resume, fast build)
   *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
+  *          [--near W]       (proximity: all terms within a W-token span)
   *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
@@ -167,6 +168,7 @@ object Main {
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
+        val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
         // snippets/facets internally use conjunctive (AND) matching — reject
         // mode flags they would silently ignore instead of mis-answering;
         // check the PARSED value, not flag presence (`--or false` is not a
@@ -174,7 +176,8 @@ object Main {
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "where" -> whereExpr.exists(_.nonEmpty),
-          "not" -> notExpr.nonEmpty).collect { case (m, true) => m }
+          "not" -> notExpr.nonEmpty,
+          "near" -> nearWin.nonEmpty).collect { case (m, true) => m }
         for (out <- Seq("snippets", "facet") if opts.contains(out);
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -201,11 +204,12 @@ object Main {
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (orMode) searcher.searchOr(q, k)
-                    else (notExpr, whereExpr) match {
-                      case (Some(ne), _) => searcher.searchNot(q, ne, k)
-                      case (None, Some(w)) => searcher.searchWhere(q, k,
+                    else (nearWin, notExpr, whereExpr) match {
+                      case (Some(w), _, _) => searcher.searchNear(q, k, w)
+                      case (None, Some(ne), _) => searcher.searchNot(q, ne, k)
+                      case (None, None, Some(w)) => searcher.searchWhere(q, k,
                         org.apache.spark.sql.functions.expr(w))
-                      case (None, None) => searcher.search(q, k)
+                      case (None, None, None) => searcher.search(q, k)
                     }).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
@@ -217,11 +221,12 @@ object Main {
           val oracleDf =
             if (phraseMode) OracleBm25.topKPhrase(files, q, k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
-            else (notExpr, whereExpr) match {
-              case (Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
-              case (None, Some(w)) => OracleBm25.topKWhere(files, q, k,
+            else (nearWin, notExpr, whereExpr) match {
+              case (Some(w), _, _) => OracleBm25.topKNear(files, q, w, k)
+              case (None, Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
+              case (None, None, Some(w)) => OracleBm25.topKWhere(files, q, k,
                 org.apache.spark.sql.functions.expr(w))
-              case (None, None) => OracleBm25.topK(files, q, k)
+              case (None, None, None) => OracleBm25.topK(files, q, k)
             }
           val want = oracleDf.collect()
             .map(r => (r.getLong(0), r.getDouble(1)))

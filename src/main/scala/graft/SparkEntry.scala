@@ -34,6 +34,11 @@ object SparkEntry {
     ("a", Bm25Query, 5), ("b", "import val", 5), ("c", "util_7", 3))
   private val PhraseQuery = Seq("import", "def")
   private val Phrase3Query = Seq("import", "def", "class")
+  // proximity gate: both terms must co-occur inside a NearWindow-token span;
+  // corpus tokens are shuffled, so the window genuinely prunes conjunctive
+  // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
+  private val NearQuery = "import util_7"
+  private val NearWindow = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -356,6 +361,15 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchPhrase(Phrase3Query.mkString(" "), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_near" -> ((s, dir) => {
+      // proximity query (unordered NEAR/w): all distinct terms within a
+      // min-cover window; survivors keep plain conjunctive scores
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchNear(NearQuery, 10, NearWindow)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -784,6 +798,55 @@ object SparkEntry {
        |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
   }
 
+  /** Proximity-query oracle: exact MIN-COVER via window functions — for each
+    * occurrence of any query term at ordinal `ord`, the smallest cover ENDING
+    * there spans from the least of the per-term running "last occurrence ≤
+    * ord" maxima to `ord`; a doc matches when some such cover fits the
+    * window — then the q_bm25_topk conjunctive BM25 restricted to covering
+    * docs (scores bit-exact: identical term set, ascending-term sum order).
+    * Matches `Searcher.searchNear` / `OracleBm25.topKNear`.
+    */
+  private def nearOracleSql(query: String, window: Int, k: Int): String = {
+    val terms = query.split(" ").distinct.sorted
+    val (k1, b) = (1.2, 0.75)
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"
+    }.mkString(",\n  ")
+    val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+    val lastCols = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN tok = '$t' THEN ord END) OVER w AS l_$i"
+    }.mkString(",\n  ")
+    val allSeen = terms.indices.map(i => s"l_$i IS NOT NULL").mkString(" AND ")
+    val minLast =
+      if (terms.length == 1) "l_0"
+      else terms.indices.map(i => s"l_$i").mkString("least(", ", ", ")")
+    s"""WITH $corpusCte,
+       |ptoks AS (
+       |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+       |  FROM docs),
+       |occ AS (SELECT docid, ord, tok FROM ptoks
+       |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})),
+       |filled AS (SELECT docid, ord, $lastCols FROM occ
+       |  WINDOW w AS (PARTITION BY docid ORDER BY ord ROWS UNBOUNDED PRECEDING)),
+       |ndocs AS (SELECT DISTINCT docid FROM filled
+       |  WHERE $allSeen AND ord - $minLast + 1 <= $window),
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+       |s AS (SELECT tf.docid, tf.tok,
+       |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+       |agg AS (SELECT docid, count(*) AS nt, $termScores
+       |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+       |SELECT agg.docid AS docId, round($scoreSum, 9) AS score
+       |FROM agg JOIN ndocs ON agg.docid = ndocs.docid
+       |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
+  }
+
   /** Exact cosine top-5 for query vectors vec_id < 3 — the oracle for both
     * the brute-force ANN gate and the full-probe IVF gate.
     */
@@ -1203,6 +1266,8 @@ object SparkEntry {
     },
 
     "q_bm25_phrase" -> phraseOracleSql(PhraseQuery, 10),
+
+    "q_bm25_near" -> nearOracleSql(NearQuery, NearWindow, 10),
 
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
 

@@ -174,6 +174,41 @@ object OracleBm25 {
       conjunctive = true, restrictTo = Some(phraseDocs))
   }
 
+  /** Top-k for a proximity query: docs where some span of ≤ `window`
+    * consecutive tokens contains every distinct query term (exact MIN-COVER,
+    * computed with plain window functions: for each occurrence of any query
+    * term at ordinal `ord`, the smallest cover ENDING there spans from the
+    * least of the per-term running "last occurrence ≤ ord" maxima to `ord`),
+    * then the standard conjunctive BM25 restricted to those docs — matches
+    * `Searcher.searchNear`.
+    */
+  def topKNear(files: DataFrame, query: String, window: Int, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (terms.isEmpty || window < terms.length) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val occ = withId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+      .filter($"term".isin(terms: _*))
+    val w = Window.partitionBy("docId").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when($"term" === t, $"ord")).over(w).as(s"l_$i") }
+    val filled = occ.select(($"docId" +: $"ord" +: lastCols): _*)
+    val allSeen = terms.indices.map(i => col(s"l_$i").isNotNull).reduce(_ && _)
+    val minLast = if (terms.length == 1) col("l_0")
+                  else least(terms.indices.map(i => col(s"l_$i")): _*)
+    val nearDocs = filled
+      .filter(allSeen && ($"ord" - minLast + 1 <= window))
+      .select("docId").distinct()
+    topKImpl(files, query, k, k1, b, conjunctive = true,
+      restrictTo = Some(nearDocs))
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
                        k1: Double, b: Double, conjunctive: Boolean,
                        restrictTo: Option[DataFrame] = None): DataFrame = {

@@ -383,6 +383,57 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Proximity top-k BM25 (`a NEAR/w b …`): candidates must contain ALL
+    * query terms (the same galloping conjunctive intersection as `search`)
+    * AND some span of at most `window` consecutive tokens must contain at
+    * least one occurrence of EVERY distinct term — the classic MIN-COVER
+    * check (Lucene's unordered SpanNearQuery semantics), swept in O(total
+    * positions) per candidate over the decoded position lists (advance the
+    * minimum head; cover = max − min + 1). Survivors are scored by plain
+    * conjunctive BM25 with the identical determinism contract as `search`
+    * (ascending-term accumulation, (score desc, docId asc) tiebreak), so
+    * survivor scores are bit-identical to the unwindowed query: a huge
+    * `window` degenerates to `search`, `window < #distinct terms` is
+    * unsatisfiable, and a single-term query matches wherever the term does.
+    * Requires a positional index (`IndexConfig(positions = true)`).
+    */
+  def searchNear(query: String, k: Int, window: Int): Dataset[Hit] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty || window < terms.length) return spark.emptyDataset[Hit]
+    require(postings.columns.contains("posBytes"),
+      "proximity search requires a positional index (IndexConfig(positions = true))")
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
+    val idfByTerm: Map[String, Double] =
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+    val segsC = postings.filter($"term".isin(terms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
+      .unionByName(exclusionSegs(candShards.toSeq)
+        .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val (termsB, winB) = (terms, window)
+    val (accT, accS) = (shardsTouched, candidatesScored)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del.map(s =>
+          PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+            s.blockFirst, s.blockMaxTfn)))
+        val segsByTerm = rest.groupBy(_.term)
+        if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardNear(segsByTerm, Searcher.mergeLens(lenIt),
+            termsB, winB, idfByTerm, k1, b, avgdl, k, accS, deleted)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Top-k hits with a SNIPPET: the 2·window+1-token context around the
     * FIRST occurrence of any query term in the document (the earliest
     * position over all terms — deterministic, so an oracle can recompute it
@@ -863,6 +914,91 @@ object Searcher {
           val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
           var i = 0
           while (i < lists.length) { // term-sorted → deterministic sum order
+            val l = lists(i)
+            val tf = l.tfs(l.pos).toDouble
+            score += (idfByTerm(l.term) * (tf * k1p1)) /
+              (tf + k1 * (1.0 - b + b * (dlen / avgdl)))
+            i += 1
+          }
+          if (heap.size < k) heap.enqueue(Hit(cand, score))
+          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+        }
+      }
+      li += 1
+    }
+    if (accScored != null) accScored.add(scored)
+    heap.iterator.toArray.iterator
+  }
+
+  /** Proximity scoring for one shard: conjunctive galloping intersection,
+    * then a MIN-COVER sweep over the distinct terms' per-doc position lists
+    * (repeatedly advance the smallest head; the cover ending there is
+    * max − min + 1; early-exit the moment a cover fits the window), then
+    * exact BM25 over the distinct terms — survivors keep scores
+    * bit-identical to [[scoreShard]]'s.
+    */
+  def scoreShardNear(segsByTerm: Map[String, Array[PostingSegP]],
+                     lens: ShardLens, termsSorted: Seq[String], window: Int,
+                     idfByTerm: Map[String, Double],
+                     k1: Double, b: Double, avgdl: Double, k: Int,
+                     accScored: LongAccumulator = null,
+                     deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    var scored = 0L
+    val lists: Array[PosList] =
+      termsSorted.map(t =>
+        withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray
+    val n = lists.length
+    val byLen = lists.sortBy(_.docs.length)
+    val lead = byLen(0)
+    val others = byLen.drop(1)
+    val heap = mutable.PriorityQueue.empty[Hit](Ordering.by((h: Hit) => (-h.score, h.docId)))
+    val ptr = new Array[Int](n)
+    val end = new Array[Int](n)
+    var li = 0
+    var advanced = true
+    while (li < lead.docs.length && advanced) {
+      val cand = lead.docs(li)
+      var ok = true
+      var oi = 0
+      while (ok && oi < others.length) {
+        val ol = others(oi)
+        ol.pos = gallop(ol.docs, ol.pos, cand)
+        if (ol.pos >= ol.docs.length) { ok = false; advanced = false }
+        else if (ol.docs(ol.pos) != cand) ok = false
+        oi += 1
+      }
+      if (ok) {
+        scored += 1
+        lead.pos = li
+        var i = 0
+        while (i < n) {
+          ptr(i) = lists(i).off(lists(i).pos)
+          end(i) = lists(i).off(lists(i).pos + 1)
+          i += 1
+        }
+        var fits = false
+        var go = true
+        while (go && !fits) {
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var mnIdx = -1
+          i = 0
+          while (i < n) {
+            val v = lists(i).flat(ptr(i))
+            if (v < mn) { mn = v; mnIdx = i }
+            if (v > mx) mx = v
+            i += 1
+          }
+          fits = mx - mn + 1 <= window
+          ptr(mnIdx) += 1
+          if (ptr(mnIdx) >= end(mnIdx)) go = false
+        }
+        if (fits) {
+          var score = 0.0
+          val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+          i = 0
+          while (i < n) { // term-sorted → deterministic sum order
             val l = lists(i)
             val tf = l.tfs(l.pos).toDouble
             score += (idfByTerm(l.term) * (tf * k1p1)) /

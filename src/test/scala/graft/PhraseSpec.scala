@@ -84,6 +84,53 @@ class PhraseSpec extends AnyFunSuite {
     assert(phraseDocs.nonEmpty && phraseDocs.subsetOf(andDocs))
   }
 
+  test("proximity search (searchNear) is rank-identical to the min-cover oracle") {
+    val s = new Searcher(spark, posIndex)
+    def got(ds: org.apache.spark.sql.Dataset[Hit]) =
+      ds.collect().map(h => (h.docId, h.score))
+    for ((q, w) <- Seq(("import util_7", 4), ("import util_7", 12),
+                       ("import def util_7", 8), ("util_3 val", 3))) {
+      val g = got(s.searchNear(q, 10, w))
+      val o = OracleBm25.topKNear(files, q, w, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(g.toSeq == o.toSeq, s"query '$q' NEAR/$w")
+      // survivor scores bit-identical to the plain conjunctive query
+      val plain = got(s.search(q, 100000)).toMap
+      assert(g.forall { case (d, sc) => plain(d) == sc }, s"'$q' NEAR/$w scores")
+    }
+  }
+
+  test("proximity search degenerate windows") {
+    val s = new Searcher(spark, posIndex)
+    def got(ds: org.apache.spark.sql.Dataset[Hit]) =
+      ds.collect().map(h => (h.docId, h.score))
+    // huge window degenerates to plain conjunctive search
+    assert(got(s.searchNear("import util_7", 10, 1000000)).toSeq ==
+      got(s.search("import util_7", 10)).toSeq)
+    // window < #distinct terms is unsatisfiable
+    assert(s.searchNear("import def util_7", 10, 2).collect().isEmpty)
+    // single-term query: any window ≥ 1 matches wherever the term does
+    assert(got(s.searchNear("util_7", 10, 1)).toSeq ==
+      got(s.search("util_7", 10)).toSeq)
+    // a small window must genuinely prune (fixture non-vacuity)
+    val tight = s.searchNear("import util_7", 100000, 4).count()
+    val loose = s.search("import util_7", 100000).count()
+    assert(tight > 0 && tight < loose,
+      s"NEAR/4 kept $tight of $loose conjunctive matches — window not discriminating")
+    // phrase hits for a bigram are a subset of NEAR/2 hits (adjacency ⊂ cover≤2)
+    val ph = s.searchPhrase("import def", 2000).collect().map(_.docId).toSet
+    val near2 = s.searchNear("import def", 2000, 2).collect().map(_.docId).toSet
+    assert(ph.subsetOf(near2))
+  }
+
+  test("non-positional index refuses proximity search with a clear error") {
+    val (_, plainIndex) = TestSpark.builtIndex
+    val e = intercept[IllegalArgumentException] {
+      new Searcher(spark, plainIndex).searchNear("import def", 5, 8)
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("non-positional index refuses phrase search with a clear error") {
     val (_, plainIndex) = TestSpark.builtIndex
     val e = intercept[IllegalArgumentException] {
