@@ -105,7 +105,7 @@ object Bench {
     *    best-evidence artifact a degraded-host-hour rerun cannot shadow.
     */
   private def persistScaling(scalingJson: String, eff: Double,
-                             confirmed: Boolean): Unit = {
+                             confirmed: Boolean, degenerate: Boolean): Unit = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val repo = java.nio.file.Paths.get(sys.props("user.dir"))
     val now = System.currentTimeMillis()
@@ -115,6 +115,14 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Exception =>
       System.err.println(s"[bench] scaling history append failed: ${e.getMessage}") }
+    if (degenerate) {
+      // cpus < 8 collapses the primary pair to (2, 2): eff_2_to_2 ≡ 1.0 is
+      // a tautology, not evidence — such a run may NEVER claim the best
+      // record (it once did, shadowing a real confirmed 0.856)
+      System.err.println("[bench] degenerate primary pair (cpus < 8) — " +
+        "scaling recorded in history only, BENCH_best.json untouched")
+      return
+    }
     val bestPath = repo.resolve("BENCH_best.json")
     val old: Option[(Boolean, Double)] =
       if (!Files.exists(bestPath)) None
@@ -122,7 +130,11 @@ object Bench {
         val s = new String(Files.readAllBytes(bestPath), utf8)
         for {
           c <- """"confirmed"\s*:\s*(true|false)""".r.findFirstMatchIn(s)
-          e <- """"eff_2_to_\d+"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s)
+          // prefer the explicit top-level "eff" field (written since r4);
+          // fall back to the first non-degenerate eff_2_to_N in the scaling
+          // block for records written by older binaries
+          e <- """"eff"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s)
+            .orElse(""""eff_2_to_(?!2")\d+"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(s))
         } yield (c.group(1).toBoolean, e.group(1).toDouble)
       } catch { case _: Exception => None } // unreadable best → replace it
     val dominates = old match {
@@ -131,8 +143,8 @@ object Bench {
     }
     if (dominates) {
       try {
-        Files.write(bestPath, (s"""{"confirmed":$confirmed,"recordedUnixMs":$now,""" +
-          s""""scaling":$scalingJson}""" + "\n").getBytes(utf8))
+        Files.write(bestPath, (f"""{"confirmed":$confirmed,"eff":$eff%.3f,""" +
+          s""""recordedUnixMs":$now,"scaling":$scalingJson}""" + "\n").getBytes(utf8))
         System.err.println(f"[bench] BENCH_best.json updated: eff=$eff%.3f " +
           s"confirmed=$confirmed (was ${old.map(o => f"eff=${o._2}%.3f confirmed=${o._1}").getOrElse("absent")})")
       } catch { case e: Exception =>
@@ -435,7 +447,8 @@ object Bench {
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
         s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, or within-rep physical-sanity violation on the primary pair; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps continue to a $budgetSec0 s budget (auto-extended once by 50% if expiring unconfirmed) until every PRIMARY level's min is confirmed by a second clean run within 15% and mins are monotonic"}"""
-    persistScaling(scaling, eff28, minConfirmed && minsMonotonic)
+    persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
+      degenerate = primary.size < 2)
 
     // ---- phase 2: full-parallelism build + queries ------------------------
     val spark = session(cpus, s"$work/sparklocal")
