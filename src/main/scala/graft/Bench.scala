@@ -323,6 +323,45 @@ object Bench {
     val raw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
     levels.foreach(n => raw(n) = Vector.empty)
     def pooledMin(n: Int): Double = raw(n).min
+    // EXTERNAL-LOAD GUARD: the sandbox's dominant noise is STEADY tenant
+    // load, which penalizes higher-core runs more (a 2-core run fits in the
+    // scheduling gaps; an 8-core run contends) and therefore biases measured
+    // efficiency DOWN while staying reproducible enough to "confirm" pooled
+    // mins — r4 driver run: t8 = 45.1 s twice in one degraded hour (quiet:
+    // 34.3 s), confirming a 0.749 record the engine measures at 0.856 when
+    // quiet. Per run we integrate host CPU busy jiffies over the child's
+    // lifetime (/proc/stat, USER_HZ=100), subtract this job's own expected
+    // occupancy (`cores + 2` for driver/service threads), and record the
+    // EXTERNAL core-average; a run with externalCores > ExtCleanCores can
+    // neither CONFIRM a level's min nor enter the median/paired estimators,
+    // so a steadily-contended hour yields an honest minConfirmed=false
+    // (and a budget extension) instead of a confirmed-but-biased record.
+    val ExtCleanCores =
+      sys.env.getOrElse("SPARK_GRAFT_EXT_CLEAN_CORES", "4.0").toDouble
+    def busyJiffies(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try { // user nice system [skip idle iowait] irq softirq steal
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        f(0) + f(1) + f(2) + f(5) + f(6) + f(7)
+      } finally src.close()
+    } catch { case _: Exception => -1L }
+    val extRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
+    levels.foreach(n => extRaw(n) = Vector.empty)
+    def extDirty(n: Int, i: Int): Boolean = {
+      val e = extRaw(n)(i); !e.isNaN && e > ExtCleanCores
+    }
+    def buildAtMeasured(n: Int): Double = {
+      val j0 = busyJiffies()
+      val t0 = System.nanoTime()
+      val sec = buildAt(n)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val j1 = busyJiffies()
+      val ext =
+        if (j0 < 0 || j1 < 0 || wall <= 0) Double.NaN
+        else math.max(0.0, (j1 - j0) / 100.0 / wall - (n + 2.0))
+      extRaw(n) = extRaw(n) :+ ext
+      sec
+    }
     // per-run poison classification over the PRIMARY pair, re-evaluated over
     // ALL reps each round: >1.4× its level's pooled min, or a within-rep
     // physical-sanity violation (t(low) > t(2cores) is impossible for this
@@ -333,7 +372,8 @@ object Bench {
     // t(high) > 1.5·t(low) rule flagged legitimate wall-bound runs and
     // collapsed the secondary estimators to the min fallback.
     def poisonFlags: Map[Int, Vector[Boolean]] = {
-      val base = levels.map(n => n -> raw(n).map(_ > 1.4 * pooledMin(n))).toMap
+      val base = levels.map(n => n -> raw(n).zipWithIndex.map { case (t, i) =>
+        t > 1.4 * pooledMin(n) || extDirty(n, i) }).toMap
       val nReps = raw(primary.head).size
       val cross = Array.fill(primary.size, nReps)(false)
       for (i <- 0 until nReps if primary.size >= 2) {
@@ -354,7 +394,8 @@ object Bench {
     }
     // confirmation gates on the levels that DECIDE the headline efficiency
     def minConfirmed: Boolean = primary.forall { n =>
-      raw(n).count(_ <= 1.15 * pooledMin(n)) >= 2
+      raw(n).zipWithIndex.count { case (t, i) =>
+        t <= 1.15 * pooledMin(n) && !extDirty(n, i) } >= 2
     }
     def minsMonotonic: Boolean = primary match {
       case Seq(a, b) => pooledMin(b) <= pooledMin(a)
@@ -366,13 +407,15 @@ object Bench {
       raw(primary.head).size >= minReps && minConfirmed && minsMonotonic
     var repsDone = 0
     while (repsDone == 0 || (elapsedSec < budgetSec && !evidenceSolid)) {
-      primary.foreach { n => raw(n) = raw(n) :+ buildAt(n) }
+      primary.foreach { n => raw(n) = raw(n) :+ buildAtMeasured(n) }
       if (repsDone < diagReps)
-        diagLevel.foreach { n => raw(n) = raw(n) :+ buildAt(n) }
+        diagLevel.foreach { n => raw(n) = raw(n) :+ buildAtMeasured(n) }
       repsDone += 1
       System.err.println(f"[bench] scaling rep $repsDone done at $elapsedSec%.0f s" +
         f" / $budgetSec%.0f s budget; mins=" +
-        levels.filter(raw(_).nonEmpty).map(n => f"$n:${pooledMin(n)}%.1f").mkString(","))
+        levels.filter(raw(_).nonEmpty).map(n => f"$n:${pooledMin(n)}%.1f").mkString(",") +
+        "; extCores=" + levels.filter(extRaw(_).nonEmpty).map(n =>
+          f"$n:${extRaw(n).last}%.1f").mkString(","))
       // budget expired without a confirmed record → auto-extend ONCE by 50%
       // rather than recording an unconfirmed min (the stop rule still never
       // looks at the efficiency value itself — no optional-stopping bias)
@@ -426,6 +469,10 @@ object Bench {
     val poisonJson = levels.map { n =>
       s""""$n":${flags(n).count(identity)}"""
     }.mkString("{", ",", "}")
+    val extJson = extRaw.map { case (n, xs) =>
+      s""""$n":${xs.map(x => if (x.isNaN) "null" else f"$x%.1f")
+        .mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val scaling =
       f"""{"cores2Sec":$tN2%.2f,"lowCpus":$lowCpus,"highCpus":$cpus,""" +
         f""""scaleDocs":$ScaleDocs,""" +
@@ -439,6 +486,8 @@ object Bench {
         f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,""" +
         s""""repsPerLevel":${raw(primary.head).size},"diagReps":${diagLevel.map(raw(_).size).getOrElse(0)},""" +
         s""""rawSecByCores":$rawJson,"poisonedRunsByCores":$poisonJson,""" +
+        s""""externalCoresByRun":$extJson,""" +
+        f""""extCleanCores":$ExtCleanCores%.1f,""" +
         f""""budgetSec":$budgetSec%.0f,"budgetExtended":$budgetExtended,""" +
         f""""scalePhaseSec":$elapsedSec%.0f,""" +
         s""""minConfirmed":$minConfirmed,"minsMonotonic":$minsMonotonic,""" +
@@ -446,7 +495,7 @@ object Bench {
           s""""scaleMethod":"spark-submit local-cluster[W,2,2048]: separate executor JVMs, identical 2-core/2GiB workers (GC/JIT threads capped to container size), W=1/4 = N/4N executors (primary, decide the record + stop rule), W=16 = 16N memory-wall diagnostic (fixed $diagReps reps, outside the stop rule); cores key = 2*W","""
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
-        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, or within-rep physical-sanity violation on the primary pair; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps continue to a $budgetSec0 s budget (auto-extended once by 50% if expiring unconfirmed) until every PRIMARY level's min is confirmed by a second clean run within 15% and mins are monotonic"}"""
+        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or EXTERNAL HOST LOAD > extCleanCores avg cores measured from /proc/stat minus this job's own cores+2 — steady tenant load penalizes higher-core runs more and biases efficiency down, so contended runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps continue to a $budgetSec0 s budget (auto-extended once by 50% if expiring unconfirmed) until every PRIMARY level's min is confirmed by a second CLEAN run within 15% and mins are monotonic"}"""
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 
@@ -505,6 +554,17 @@ object Bench {
       qsecs("bm25_prefix_p50") = pct(lat, 0.50)
     }
 
+    // regex term-query latency: one prefix-pushdown pattern, one prefix-free
+    // (full dict scan) pattern, one high-fanout pattern hitting the cap
+    {
+      val pats = Seq("util_1[0-9]", "[uv]til_2[0-9]", "sym_0[0-9a-f]+")
+      pats.foreach(p => searcher.searchRegex(p, 10).collect())
+      val lat = pats.map(p => timed(searcher.searchRegex(p, 10).collect())._2).sorted
+      qsecs("bm25_regex_p50") = pct(lat, 0.50)
+    }
+
+    // proximity (NEAR/w) latency rides the positional index below
+
     // facet counts over the full conjunctive match set
     {
       searcher.searchFacets("import def util_7", "lang").collect()
@@ -542,6 +602,16 @@ object Bench {
       timed(phraseSearcher.searchPhrase(p, 10).collect())._2).sorted
     qsecs("bm25_phrase_p50") = pct(phraseLat, 0.50)
     qsecs("bm25_phrase_p95") = pct(phraseLat, 0.95)
+    // proximity: same candidate walk as AND plus the min-cover sweep
+    locally {
+      val nears = Seq(("import util_7", 6), ("import def util_7", 10),
+        ("def class val", 12), ("import util_3", 4), ("val util_7", 8))
+      nears.foreach { case (q, w) => phraseSearcher.searchNear(q, 10, w).collect() }
+      val lat = nears.map { case (q, w) =>
+        timed(phraseSearcher.searchNear(q, 10, w).collect())._2 }.sorted
+      qsecs("bm25_near_p50") = pct(lat, 0.50)
+      qsecs("bm25_near_p95") = pct(lat, 0.95)
+    }
 
     // headline table operators at sfDir
     val qmap = SparkEntry.queries

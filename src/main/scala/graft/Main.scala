@@ -19,6 +19,7 @@ import graft.query.Searcher
   *   query  --index DIR --q "TERMS" [--k K] [--or true] [--phrase true]
   *          [--near W]       (proximity: all terms within a W-token span)
   *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
+  *          [--regex true]   (anchored regex term query: dict-expand, OR-score)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *          [--tombstones PATH]  (exclude deleted docs)
@@ -166,6 +167,7 @@ object Main {
         val orMode = opts.getOrElse("or", "false").toBoolean
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
+        val regexMode = opts.getOrElse("regex", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
@@ -175,6 +177,7 @@ object Main {
         // conflicting mode)
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
+          "regex" -> regexMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty).collect { case (m, true) => m }
@@ -203,6 +206,7 @@ object Main {
         val t0 = System.nanoTime()
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
+                    else if (regexMode) searcher.searchRegex(q, k)
                     else if (orMode) searcher.searchOr(q, k)
                     else (nearWin, notExpr, whereExpr) match {
                       case (Some(w), _, _) => searcher.searchNear(q, k, w)
@@ -220,6 +224,13 @@ object Main {
           val files = spark.read.parquet(s"$corpusDir/files.parquet")
           val oracleDf =
             if (phraseMode) OracleBm25.topKPhrase(files, q, k)
+            // prefix/regex rewrite to OR over the dictionary expansion; the
+            // expansion rule itself is deterministic (df desc, term asc, cap)
+            // and spec-tested — the CLI oracle checks the SCORING of it
+            else if (prefixMode) OracleBm25.topKOr(files,
+              searcher.expandPrefix(q).mkString(" "), k)
+            else if (regexMode) OracleBm25.topKOr(files,
+              searcher.expandRegex(q).mkString(" "), k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
             else (nearWin, notExpr, whereExpr) match {
               case (Some(w), _, _) => OracleBm25.topKNear(files, q, w, k)

@@ -39,6 +39,9 @@ object SparkEntry {
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
   private val NearQuery = "import util_7"
   private val NearWindow = 4
+  // regex gate: anchored full-term match; portable regex core only (same
+  // semantics under Java regex and DuckDB's RE2) — expands to util_10..19
+  private val RegexQuery = "util_1[0-9]"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -411,6 +414,17 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchNot(Bm25Query, "val zzqx_nothing", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_regex" -> ((s, dir) => {
+      // anchored regex term query: dictionary expansion (full-term match,
+      // df desc, term asc, cap 64) → disjunctive WAND scoring, same rewrite
+      // family as prefix; oracle reproduces the expansion via
+      // regexp_full_match and left-folds scores in ascending-term order
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchRegex(RegexQuery, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1171,6 +1185,28 @@ object SparkEntry {
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
+
+    // regex expansion reproduced in SQL (anchored full-term match, same cap
+    // rule: df desc, term asc, LIMIT 64), then OR-mode BM25 with the same
+    // ascending-term left-fold as the prefix oracle — bit-exact sums
+    "q_bm25_regex" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |expansion AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE regexp_full_match(tok, '$RegexQuery') GROUP BY 1
+         |  ORDER BY count(*) DESC, tok LIMIT 64),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
 
     // prefix expansion reproduced in SQL (same rule: df desc, term asc,
     // LIMIT 64), then OR-mode BM25 where each doc's term scores are

@@ -582,6 +582,55 @@ object IndexBuilder {
     * segments — the reduce-side encode kernel of the fast build, shared by
     * the direct-parquet and per-partition-parts write paths.
     */
+  /** Wrap a posting-segment iterator so its partition emits one
+    * [[PartitionManifest]] lineage record at exhaustion: segments out,
+    * postings encoded, compressed bytes, a content sha256 and elapsed ms
+    * (postings/sec = postings / elapsedMs·1000) — the buildFast twin of the
+    * staged build's segments manifest, per the north star's
+    * "per-partition metrics logged for lineage". `fanIn` records how many
+    * committed part files a publish task merged (1 for an encode task).
+    */
+  private def manifested[S <: Product](
+      acc: CollectionAccumulator[PartitionManifest], stage: String,
+      fanIn: Long)(segs: Iterator[S]): Iterator[S] = {
+    val t0 = System.nanoTime()
+    var nSegs = 0L; var postings = 0L; var bytes = 0L
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    val counted = segs.map { s =>
+      nSegs += 1
+      s match {
+        case p: PostingSeg =>
+          postings += p.n; bytes += p.docBytes.length + p.tfBytes.length
+          digest.update(p.term.getBytes(StandardCharsets.UTF_8))
+          digest.update(p.docBytes); digest.update(p.tfBytes)
+        case p: PostingSegP =>
+          postings += p.n
+          bytes += p.docBytes.length + p.tfBytes.length +
+            (if (p.posBytes != null) p.posBytes.length else 0)
+          digest.update(p.term.getBytes(StandardCharsets.UTF_8))
+          digest.update(p.docBytes); digest.update(p.tfBytes)
+          if (p.posBytes != null) digest.update(p.posBytes)
+        case _ => ()
+      }
+      s
+    }
+    new Iterator[S] {
+      private var emitted = false
+      def hasNext: Boolean = {
+        val h = counted.hasNext
+        if (!h && !emitted) {
+          emitted = true
+          acc.add(PartitionManifest(stage, TaskContext.getPartitionId(),
+            nSegs, postings, bytes,
+            digest.digest().map(x => f"$x%02x").mkString,
+            (System.nanoTime() - t0) / 1000000, fanIn))
+        }
+        h
+      }
+      def next(): S = counted.next()
+    }
+  }
+
   private def encodeSegments(it: Iterator[(String, Long, Int, Int, Int)],
       k1: Double, b: Double, avgdl: Double,
       counter: org.apache.spark.util.LongAccumulator): Iterator[PostingSeg] = {
@@ -653,12 +702,34 @@ object IndexBuilder {
     val ds = spark.createDataset(files)
       .repartitionByRange(files.size, $"_1")
       .map(_._2)
+    // merge fan-in lineage: each publish task records how many committed
+    // part files it merged (usually 1 by the 1:1 mapping above, >1 only in
+    // the contiguous-range worst case) plus segments/postings/bytes — this
+    // manifest re-derives from the parts themselves, so it is COMPLETE even
+    // when the encode manifest is partial after a mid-stage crash+resume
+    val pubAcc: CollectionAccumulator[PartitionManifest] =
+      spark.sparkContext.collectionAccumulator[PartitionManifest]("publishManifests")
     if (!positional)
-      ds.mapPartitions(_.flatMap(PartStore.readPart))
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+      ds.mapPartitions { pathIt =>
+        val paths = pathIt.toArray
+        manifested(pubAcc, "publish", paths.length.toLong)(
+          paths.iterator.flatMap(PartStore.readPart))
+      }.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
     else
-      ds.mapPartitions(_.flatMap(PartStore.readPartP))
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+      ds.mapPartitions { pathIt =>
+        val paths = pathIt.toArray
+        manifested(pubAcc, "publish", paths.length.toLong)(
+          paths.iterator.flatMap(PartStore.readPartP))
+      }.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val pub = pubAcc.value.asScala.toSeq.groupBy(_.partition)
+        .map(_._2.head).toSeq.sortBy(_.partition)
+      spark.createDataset(pub).coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/manifests/publish.parquet")
+      Metrics.writeJson(s"$indexDir/manifests/publish.json", pub)
+    }
     val p = new org.apache.hadoop.fs.Path(partsDir)
     p.getFileSystem(conf).delete(p, true)
   }
@@ -858,6 +929,8 @@ object IndexBuilder {
             s"$numDocsFromSort — delete the index dir (or restore the " +
             "original corpus) and rebuild")
       }
+      val mAcc: CollectionAccumulator[PartitionManifest] =
+        spark.sparkContext.collectionAccumulator[PartitionManifest]("postingsManifests")
       if (!cfg.positions) {
         val sortedTf = withId
           .select($"docId", $"content")
@@ -888,7 +961,8 @@ object IndexBuilder {
           .sortWithinPartitions($"term", $"shard", $"docId")
         if (!cfg.partitionedResume) {
           sortedTf
-            .mapPartitions(encodeSegments(_, k1, b, avgdl, segCounter))
+            .mapPartitions(it => manifested(mAcc, "postings", 1L)(
+              encodeSegments(it, k1, b, avgdl, segCounter)))
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           // per-partition committed parts + publish — see PartStore; the
@@ -906,7 +980,8 @@ object IndexBuilder {
             val tc = TaskContext.get()
             if (!committed.value.contains(tc.partitionId()))
               PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
-                encodeSegments(it, k1, b, avgdl, null), positional = false)
+                manifested(mAcc, "postings", 1L)(
+                  encodeSegments(it, k1, b, avgdl, null)), positional = false)
           }
           if (cfg.stopAfterStage == "postings_parts") stages.abort()
           else publishFromParts(spark, indexDir, partsDir, P, positional = false)
@@ -947,7 +1022,8 @@ object IndexBuilder {
           .sortWithinPartitions($"term", $"shard", $"docId")
         if (!cfg.partitionedResume) {
           sortedTfP
-            .mapPartitions(encodeSegmentsP(_, k1, b, avgdl, segCounter))
+            .mapPartitions(it => manifested(mAcc, "postings", 1L)(
+              encodeSegmentsP(it, k1, b, avgdl, segCounter)))
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           val partsDir = s"$indexDir/_postings_parts"
@@ -963,11 +1039,36 @@ object IndexBuilder {
               val tc = TaskContext.get()
               if (!committed.value.contains(tc.partitionId()))
                 PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
-                  encodeSegmentsP(it, k1, b, avgdl, null), positional = true)
+                  manifested(mAcc, "postings", 1L)(
+                    encodeSegmentsP(it, k1, b, avgdl, null)), positional = true)
           }
           if (cfg.stopAfterStage == "postings_parts") stages.abort()
           else publishFromParts(spark, indexDir, partsDir, P, positional = true)
         }
+      }
+      // per-partition lineage manifest of the encode (segments, postings,
+      // compressed bytes, content sha, elapsed ms → postings/sec). On a
+      // partitioned resume, partitions whose parts were committed by an
+      // earlier attempt keep that attempt's entries (merged from the prior
+      // manifest file when it exists; an attempt killed INSIDE the postings
+      // stage wrote no manifest — the publish manifest below is then the
+      // complete per-partition record, since publish re-reads every part).
+      {
+        import scala.jdk.CollectionConverters._
+        val newMs = mAcc.value.asScala.toSeq.groupBy(_.partition)
+          .map(_._2.head).toSeq // speculative dup attempts: keep one
+        val mPath = s"$indexDir/manifests/postings.parquet"
+        val prior =
+          if (cfg.partitionedResume && Files.exists(Paths.get(mPath)))
+            scala.util.Try(spark.read.parquet(mPath).as[PartitionManifest]
+              .collect().toSeq).getOrElse(Nil)
+          else Nil
+        val newPids = newMs.map(_.partition).toSet
+        val merged = (prior.filterNot(m => newPids(m.partition)) ++ newMs)
+          .sortBy(_.partition)
+        spark.createDataset(merged).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(mPath)
+        Metrics.writeJson(s"$indexDir/manifests/postings.json", merged)
       }
       phase("publish-write")
     }
@@ -1057,7 +1158,7 @@ object Metrics {
     val body = ms.map { m =>
       s"""{"stage":"${m.stage}","partition":${m.partition},"rows":${m.rows},""" +
         s""""postings":${m.postings},"bytesOut":${m.bytesOut},""" +
-        s""""sha256":"${m.sha256}","elapsedMs":${m.elapsedMs}}"""
+        s""""sha256":"${m.sha256}","elapsedMs":${m.elapsedMs},"fanIn":${m.fanIn}}"""
     }.mkString("[", ",", "]")
     Files.createDirectories(Paths.get(path).getParent)
     Files.write(Paths.get(path), body.getBytes(StandardCharsets.UTF_8))

@@ -65,7 +65,7 @@ case class Hit(docId: Long, score: Double)
   */
 case class PartitionManifest(stage: String, partition: Int, rows: Long,
                              postings: Long, bytesOut: Long, sha256: String,
-                             elapsedMs: Long)
+                             elapsedMs: Long, fanIn: Long = 1L)
 
 /** Filesystem helpers shared by bench/fixture/scale tooling — one
   * implementation of recursive delete (idempotent: `deleteIfExists`

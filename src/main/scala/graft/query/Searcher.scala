@@ -491,6 +491,42 @@ class Searcher(spark: SparkSession, indexDir: String,
     else searchOrTerms(expanded.sorted, k)
   }
 
+  /** Regex term query (Lucene's RegexpQuery analog): `pattern` is matched
+    * against the FULL term (anchored — `u.l` does not match `util_1`) over
+    * the term dictionary, capped at the `maxExpand` highest-df matches
+    * (df desc, term asc — deterministic, so an oracle can reproduce the
+    * expansion), then scored as a disjunctive (OR) query over the matching
+    * terms, riding the same WAND-pruned document-at-a-time kernel as
+    * `searchOr`. Keep patterns to the portable core (character classes,
+    * alternation, `+`/`*`/`?`/`{n,m}`) — evaluated by Java's regex engine.
+    *
+    * Scale shape: a literal prefix extracted from the pattern (e.g.
+    * `util_1[0-9]` → `util_1`) is pushed down as a `startsWith` range
+    * filter on the dict parquet scan, so anchored-prefix patterns prune row
+    * groups exactly like `searchPrefix`; prefix-free patterns degrade to a
+    * full scan of the (narrow, 3-column, distributed) dictionary — never
+    * collected beyond the capped expansion.
+    */
+  def searchRegex(pattern: String, k: Int, maxExpand: Int = 64): Dataset[Hit] = {
+    val expanded = expandRegex(pattern, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else searchOrTerms(expanded.sorted, k)
+  }
+
+  /** The dictionary expansion of a regex: full-term matches ordered by
+    * (df desc, term asc), capped at `maxExpand`.
+    */
+  def expandRegex(pattern: String, maxExpand: Int = 64): Seq[String] = {
+    java.util.regex.Pattern.compile(pattern) // fail fast on driver, not in tasks
+    val lit = Searcher.literalPrefix(pattern)
+    val base = if (lit.nonEmpty) dict.filter($"term".startsWith(lit)) else dict
+    base.filter($"term".rlike("^(?:" + pattern + ")$"))
+      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+      .orderBy($"df".desc, $"term".asc)
+      .limit(maxExpand)
+      .select("term").as[String].collect().toSeq
+  }
+
   /** The dictionary expansion of a prefix: matching terms ordered by
     * (df desc, term asc), capped at `maxExpand`. The prefix itself is run
     * through the tokenizer (so `UTIL_` and `util_` expand identically) and
@@ -671,6 +707,29 @@ object Searcher {
 
   /** Default bound on the driver-side term-metadata LRU (~100 B/entry). */
   val DefaultTermCacheCap: Int = 1 << 20
+
+  /** The longest literal token prefix a regex pattern is guaranteed to
+    * require: literal token chars ([a-z0-9_]) up to the first regex
+    * metacharacter; if that metacharacter quantifies the previous char as
+    * optional (`?`, `*`, `{` — e.g. `ab?` matches `a`), the last collected
+    * char is dropped. Used to push a startsWith range filter into the dict
+    * scan; "" (no pushdown) is always safe.
+    */
+  private[graft] def literalPrefix(pattern: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_') {
+        sb.append(c); i += 1
+      } else {
+        if ((c == '?' || c == '*' || c == '{') && sb.nonEmpty)
+          sb.setLength(sb.length - 1)
+        return sb.toString
+      }
+    }
+    sb.toString
+  }
 
   /** Synthetic "term" carrying a metadata filter's docId list through the
     * intersection kernel (searchWhere). The leading space (0x20) sorts

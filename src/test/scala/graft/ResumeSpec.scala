@@ -98,6 +98,18 @@ class ResumeSpec extends AnyFunSuite {
     assert(segs(stagedDir).exceptAll(segs(fastDir)).isEmpty)
     def docs(dir: String) = spark.read.parquet(s"$dir/docs.parquet")
     assert(docs(fastDir).exceptAll(docs(stagedDir)).isEmpty)
+    // buildFast emits per-partition lineage manifests too (north-star
+    // metrics): every encode partition accounted, postings sum == Σdf
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val m = spark.read.parquet(s"$fastDir/manifests/postings.parquet")
+    assert(m.count() > 0 && !m.filter($"sha256" === "").head(1).nonEmpty)
+    val mPost = m.agg(fsum("postings")).as[Long].head()
+    val dictDf = spark.read.parquet(s"$fastDir/dict.parquet")
+      .agg(fsum("df")).as[Long].head()
+    assert(mPost == dictDf, s"manifest postings $mPost != dict df sum $dictDf")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$fastDir/manifests/postings.json")))
   }
 
   test("index content is independent of build partition count (cluster-size determinism)") {
@@ -169,6 +181,22 @@ class ResumeSpec extends AnyFunSuite {
     val want = graft.oracle.OracleBm25.topK(files, "import def", 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == want.toSeq)
+
+    // lineage across the crash+resume: the encode manifest merges both
+    // attempts' entries (8 partitions total), and the publish manifest —
+    // re-derived from the parts themselves, so complete by construction —
+    // covers all 8 with recorded merge fan-in and the same postings total
+    import org.apache.spark.sql.functions.{sum => fsum, min => fmin}
+    import spark.implicits._
+    val dictDf = spark.read.parquet(s"$rDir/dict.parquet")
+      .agg(fsum("df")).as[Long].head()
+    val enc = spark.read.parquet(s"$rDir/manifests/postings.parquet")
+    assert(enc.count() == 8, s"encode manifest has ${enc.count()} of 8 partitions")
+    assert(enc.agg(fsum("postings")).as[Long].head() == dictDf)
+    val pub = spark.read.parquet(s"$rDir/manifests/publish.parquet")
+    assert(pub.count() == 8)
+    assert(pub.agg(fsum("postings")).as[Long].head() == dictDf)
+    assert(pub.agg(fmin("fanIn")).as[Long].head() >= 1L)
   }
 
   test("per-partition resume with a CHANGED partition count fails loudly (scheme pin)") {

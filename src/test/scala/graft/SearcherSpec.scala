@@ -67,6 +67,46 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.searchPrefix("zzqx_nada", 5).isEmpty)
   }
 
+  test("regex search: anchored expansion + OR scoring, rank-identical to the oracle") {
+    val expansion = searcher.expandRegex("util_1[0-9]")
+    assert(expansion.toSet == (10 to 19).map(i => s"util_$i").toSet,
+      s"expansion was $expansion")
+    // deterministic expansion order: df desc, term asc (same rule as prefix)
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+    val want = dict.filter(org.apache.spark.sql.functions.col("term").rlike("^util_1[0-9]$"))
+      .orderBy(org.apache.spark.sql.functions.col("df").desc,
+        org.apache.spark.sql.functions.col("term").asc)
+      .limit(64).select("term").as[String].collect().toSeq
+    assert(expansion == want)
+    // scoring == OR over the expansion, matches the brute-force oracle
+    val g = got(searcher.searchRegex("util_1[0-9]", 10))
+    assert(g.toSeq == oracleOr(expansion.mkString(" "), 10).toSeq)
+    // anchored: a mid-term fragment must NOT match (util_1 exists, 'til_' is
+    // a substring of many terms but a full-term match of none)
+    assert(searcher.searchRegex("til_[0-9]+", 5).isEmpty)
+    // no-match pattern → empty; invalid pattern → fail fast on the driver
+    assert(searcher.searchRegex("zzqx_[0-9]{4}", 5).isEmpty)
+    intercept[java.util.regex.PatternSyntaxException] {
+      searcher.searchRegex("util_[", 5)
+    }
+  }
+
+  test("regex literal-prefix pushdown extraction") {
+    import graft.query.Searcher.literalPrefix
+    assert(literalPrefix("util_1[0-9]") == "util_1")
+    assert(literalPrefix("util_1") == "util_1")     // pure literal
+    assert(literalPrefix("[uv]til") == "")          // no prefix
+    assert(literalPrefix("ab?c") == "a")            // optional last char
+    assert(literalPrefix("ab*c") == "a")
+    assert(literalPrefix("ab{0,3}") == "a")
+    assert(literalPrefix("ab+c") == "ab")           // + keeps the char
+    assert(literalPrefix("a.c") == "a")
+    // a prefix-free pattern still answers correctly (full dict scan path)
+    val viaScan = got(searcher.searchRegex("[u]til_1[0-9]", 10))
+    val viaPush = got(searcher.searchRegex("util_1[0-9]", 10))
+    assert(viaScan.toSeq == viaPush.toSeq)
+  }
+
   test("snippets: same ranking as search, window centered on the first hit") {
     import org.apache.spark.sql.functions._
     val q = "import def util_7"
