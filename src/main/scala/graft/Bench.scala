@@ -338,6 +338,15 @@ object Bench {
     // (and a budget extension) instead of a confirmed-but-biased record.
     val ExtCleanCores =
       sys.env.getOrElse("SPARK_GRAFT_EXT_CLEAN_CORES", "4.0").toDouble
+    // STARVATION detection twin: on this box the thief is INVISIBLE to the
+    // guest — a measured 4.5×-inflated 32-core run showed 0.0 external
+    // busy cores in /proc/stat (VM-level CPU starvation, no steal clock).
+    // What IS visible: our own job's CPU-per-wall-second. A clean run at
+    // level n keeps `usedCores` near its demand (measured quiet signature
+    // ≈ 0.65-0.9 of n+2); a starved run collapses far below (the 4.5×
+    // run ⇒ ≈ 0.2). Threshold 0.45·(n+2) sits in the wide gap between.
+    val StarveFrac =
+      sys.env.getOrElse("SPARK_GRAFT_STARVE_FRAC", "0.45").toDouble
     def busyJiffies(): Long = try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try { // user nice system [skip idle iowait] irq softirq steal
@@ -345,10 +354,15 @@ object Bench {
         f(0) + f(1) + f(2) + f(5) + f(6) + f(7)
       } finally src.close()
     } catch { case _: Exception => -1L }
-    val extRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
-    levels.foreach(n => extRaw(n) = Vector.empty)
+    // per-run AVERAGE busy cores over the child's lifetime (ours + any
+    // visible tenant); NaN when /proc/stat is unavailable
+    val usedRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
+    levels.foreach(n => usedRaw(n) = Vector.empty)
     def extDirty(n: Int, i: Int): Boolean = {
-      val e = extRaw(n)(i); !e.isNaN && e > ExtCleanCores
+      val u = usedRaw(n)(i)
+      if (u.isNaN) false
+      else u - (n + 2.0) > ExtCleanCores || // visible co-tenant load
+        u < StarveFrac * (n + 2.0)          // invisible starvation
     }
     def buildAtMeasured(n: Int): Double = {
       val j0 = busyJiffies()
@@ -356,10 +370,10 @@ object Bench {
       val sec = buildAt(n)
       val wall = (System.nanoTime() - t0) / 1e9
       val j1 = busyJiffies()
-      val ext =
+      val used =
         if (j0 < 0 || j1 < 0 || wall <= 0) Double.NaN
-        else math.max(0.0, (j1 - j0) / 100.0 / wall - (n + 2.0))
-      extRaw(n) = extRaw(n) :+ ext
+        else (j1 - j0) / 100.0 / wall
+      usedRaw(n) = usedRaw(n) :+ used
       sec
     }
     // per-run poison classification over the PRIMARY pair, re-evaluated over
@@ -405,8 +419,14 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - scaleT0) / 1e9
     def evidenceSolid: Boolean =
       raw(primary.head).size >= minReps && minConfirmed && minsMonotonic
+    // run the FULL budget even once the evidence is solid: pooled min only
+    // improves with more reps, the budget is the honest time cap either
+    // way, and r4 measured two independent degraded-hour runs "confirming"
+    // a stable biased plateau (t8 ≈ 45 s twice, quiet 34.3 s) after 3 reps
+    // — later reps are the only chance of catching a quiet window. The
+    // stop rule still never looks at the efficiency value itself.
     var repsDone = 0
-    while (repsDone == 0 || (elapsedSec < budgetSec && !evidenceSolid)) {
+    while (repsDone == 0 || elapsedSec < budgetSec) {
       primary.foreach { n => raw(n) = raw(n) :+ buildAtMeasured(n) }
       if (repsDone < diagReps)
         diagLevel.foreach { n => raw(n) = raw(n) :+ buildAtMeasured(n) }
@@ -414,8 +434,8 @@ object Bench {
       System.err.println(f"[bench] scaling rep $repsDone done at $elapsedSec%.0f s" +
         f" / $budgetSec%.0f s budget; mins=" +
         levels.filter(raw(_).nonEmpty).map(n => f"$n:${pooledMin(n)}%.1f").mkString(",") +
-        "; extCores=" + levels.filter(extRaw(_).nonEmpty).map(n =>
-          f"$n:${extRaw(n).last}%.1f").mkString(","))
+        "; usedCores=" + levels.filter(usedRaw(_).nonEmpty).map(n =>
+          f"$n:${usedRaw(n).last}%.1f/${n + 2}").mkString(","))
       // budget expired without a confirmed record → auto-extend ONCE by 50%
       // rather than recording an unconfirmed min (the stop rule still never
       // looks at the efficiency value itself — no optional-stopping bias)
@@ -469,7 +489,7 @@ object Bench {
     val poisonJson = levels.map { n =>
       s""""$n":${flags(n).count(identity)}"""
     }.mkString("{", ",", "}")
-    val extJson = extRaw.map { case (n, xs) =>
+    val extJson = usedRaw.map { case (n, xs) =>
       s""""$n":${xs.map(x => if (x.isNaN) "null" else f"$x%.1f")
         .mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
@@ -486,8 +506,8 @@ object Bench {
         f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,""" +
         s""""repsPerLevel":${raw(primary.head).size},"diagReps":${diagLevel.map(raw(_).size).getOrElse(0)},""" +
         s""""rawSecByCores":$rawJson,"poisonedRunsByCores":$poisonJson,""" +
-        s""""externalCoresByRun":$extJson,""" +
-        f""""extCleanCores":$ExtCleanCores%.1f,""" +
+        s""""usedCoresByRun":$extJson,""" +
+        f""""extCleanCores":$ExtCleanCores%.1f,"starveFrac":$StarveFrac%.2f,""" +
         f""""budgetSec":$budgetSec%.0f,"budgetExtended":$budgetExtended,""" +
         f""""scalePhaseSec":$elapsedSec%.0f,""" +
         s""""minConfirmed":$minConfirmed,"minsMonotonic":$minsMonotonic,""" +
@@ -495,7 +515,7 @@ object Bench {
           s""""scaleMethod":"spark-submit local-cluster[W,2,2048]: separate executor JVMs, identical 2-core/2GiB workers (GC/JIT threads capped to container size), W=1/4 = N/4N executors (primary, decide the record + stop rule), W=16 = 16N memory-wall diagnostic (fixed $diagReps reps, outside the stop rule); cores key = 2*W","""
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
-        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or EXTERNAL HOST LOAD > extCleanCores avg cores measured from /proc/stat minus this job's own cores+2 — steady tenant load penalizes higher-core runs more and biases efficiency down, so contended runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps continue to a $budgetSec0 s budget (auto-extended once by 50% if expiring unconfirmed) until every PRIMARY level's min is confirmed by a second CLEAN run within 15% and mins are monotonic"}"""
+        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST-LOAD violation measured from /proc/stat avg busy cores over the run (usedCoresByRun): visible co-tenant load (used - (n+2) > extCleanCores) OR invisible VM-level starvation (used < starveFrac*(n+2) — on this box the thief shows 0 external busy cores while inflating wall time 4.5x, but our own collapsed CPU/wall exposes it) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 
