@@ -358,13 +358,50 @@ object Bench {
     // visible tenant); NaN when /proc/stat is unavailable
     val usedRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
     levels.foreach(n => usedRaw(n) = Vector.empty)
+    // PER-CORE THROUGHPUT CALIBRATION: r4 measured that the degraded-hour
+    // t8 plateau (45-49 s vs 34.3 s quiet) runs at FULL cpu utilization
+    // (8.4 of 10 demanded cores busy) — the degradation is per-CYCLE
+    // throughput (co-tenant memory-bandwidth / frequency pressure on the
+    // physical host), invisible to every form of CPU-time accounting.
+    // What does expose it: a fixed single-thread memory-streaming loop
+    // (64 MiB xor-walk) run immediately before each timed build — its
+    // passes/sec drop by the same host pressure that inflates the build.
+    // Each run records its score (memScoreByRun, cross-record comparable);
+    // a run scoring < memCleanFrac of the best score seen THIS bench run
+    // is flagged dirty. A uniformly-degraded run (no clean best to compare
+    // against) still records absolute scores for cross-record audit.
+    val MemCleanFrac =
+      sys.env.getOrElse("SPARK_GRAFT_MEM_CLEAN_FRAC", "0.8").toDouble
+    val memBuf = new Array[Long](8 << 20) // 64 MiB
+    def memScore(): Double = { // buffer passes per second, ~1.5 s sample
+      var pass = 0
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 1.5e9) {
+        var i = 0; var acc = 0L
+        while (i < memBuf.length) { acc ^= memBuf(i); memBuf(i) = acc + i; i += 1 }
+        pass += 1
+      }
+      pass / ((System.nanoTime() - t0) / 1e9)
+    }
+    memScore() // JIT-warm the loop so run 1's sample is comparable
+    val memRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
+    levels.foreach(n => memRaw(n) = Vector.empty)
+    def bestMem: Double = {
+      val all = levels.flatMap(n => memRaw(n))
+      if (all.isEmpty) Double.NaN else all.max
+    }
     def extDirty(n: Int, i: Int): Boolean = {
       val u = usedRaw(n)(i)
-      if (u.isNaN) false
-      else u - (n + 2.0) > ExtCleanCores || // visible co-tenant load
-        u < StarveFrac * (n + 2.0)          // invisible starvation
+      val cpuDirty =
+        if (u.isNaN) false
+        else u - (n + 2.0) > ExtCleanCores || // visible co-tenant load
+          u < StarveFrac * (n + 2.0)          // invisible starvation
+      val m = memRaw(n)(i)
+      val memDirty = !m.isNaN && !bestMem.isNaN && m < MemCleanFrac * bestMem
+      cpuDirty || memDirty
     }
     def buildAtMeasured(n: Int): Double = {
+      memRaw(n) = memRaw(n) :+ memScore()
       val j0 = busyJiffies()
       val t0 = System.nanoTime()
       val sec = buildAt(n)
@@ -435,7 +472,9 @@ object Bench {
         f" / $budgetSec%.0f s budget; mins=" +
         levels.filter(raw(_).nonEmpty).map(n => f"$n:${pooledMin(n)}%.1f").mkString(",") +
         "; usedCores=" + levels.filter(usedRaw(_).nonEmpty).map(n =>
-          f"$n:${usedRaw(n).last}%.1f/${n + 2}").mkString(","))
+          f"$n:${usedRaw(n).last}%.1f/${n + 2}").mkString(",") +
+        "; memScore=" + levels.filter(memRaw(_).nonEmpty).map(n =>
+          f"$n:${memRaw(n).last}%.1f").mkString(","))
       // budget expired without a confirmed record → auto-extend ONCE by 50%
       // rather than recording an unconfirmed min (the stop rule still never
       // looks at the efficiency value itself — no optional-stopping bias)
@@ -493,6 +532,10 @@ object Bench {
       s""""$n":${xs.map(x => if (x.isNaN) "null" else f"$x%.1f")
         .mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
+    val memJson = memRaw.map { case (n, xs) =>
+      s""""$n":${xs.map(x => if (x.isNaN) "null" else f"$x%.1f")
+        .mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
     val scaling =
       f"""{"cores2Sec":$tN2%.2f,"lowCpus":$lowCpus,"highCpus":$cpus,""" +
         f""""scaleDocs":$ScaleDocs,""" +
@@ -506,8 +549,9 @@ object Bench {
         f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,""" +
         s""""repsPerLevel":${raw(primary.head).size},"diagReps":${diagLevel.map(raw(_).size).getOrElse(0)},""" +
         s""""rawSecByCores":$rawJson,"poisonedRunsByCores":$poisonJson,""" +
-        s""""usedCoresByRun":$extJson,""" +
+        s""""usedCoresByRun":$extJson,"memScoreByRun":$memJson,""" +
         f""""extCleanCores":$ExtCleanCores%.1f,"starveFrac":$StarveFrac%.2f,""" +
+        f""""memCleanFrac":$MemCleanFrac%.2f,""" +
         f""""budgetSec":$budgetSec%.0f,"budgetExtended":$budgetExtended,""" +
         f""""scalePhaseSec":$elapsedSec%.0f,""" +
         s""""minConfirmed":$minConfirmed,"minsMonotonic":$minsMonotonic,""" +
@@ -515,7 +559,7 @@ object Bench {
           s""""scaleMethod":"spark-submit local-cluster[W,2,2048]: separate executor JVMs, identical 2-core/2GiB workers (GC/JIT threads capped to container size), W=1/4 = N/4N executors (primary, decide the record + stop rule), W=16 = 16N memory-wall diagnostic (fixed $diagReps reps, outside the stop rule); cores key = 2*W","""
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
-        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST-LOAD violation measured from /proc/stat avg busy cores over the run (usedCoresByRun): visible co-tenant load (used - (n+2) > extCleanCores) OR invisible VM-level starvation (used < starveFrac*(n+2) — on this box the thief shows 0 external busy cores while inflating wall time 4.5x, but our own collapsed CPU/wall exposes it) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
+        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST violation: visible co-tenant load (usedCoresByRun from /proc/stat: used - (n+2) > extCleanCores), invisible VM-level starvation (used < starveFrac*(n+2)), or PER-CORE THROUGHPUT degradation (memScoreByRun: a fixed single-thread 64MiB memory-stream calibration run before each build scores < memCleanFrac of the run's best — r4 measured the degraded plateau at FULL cpu utilization, so only a work-rate probe exposes it) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 

@@ -31,6 +31,8 @@ import graft.query.Searcher
   *          (drain-available-then-stop incremental delta indexing)
   *   convert --in PARQUET --out PARQUET --key K --labels a,b [--mode merge|extract]
   *          (APSI KV converter, psi/utils/csv_converter.h:31-80)
+  *   stats  --index DIR   (meta, compression ratio, per-partition lineage
+  *          distributions from the build manifests)
   */
 object Main {
 
@@ -137,6 +139,49 @@ object Main {
         val n = graft.index.Tombstones.applyDeletes(spark, keys,
           opts("index") +: deltas, opts("tombstones"))
         println(s"tombstoned: $n docs total -> ${opts("tombstones")}")
+        spark.stop()
+
+      case "stats" =>
+        // index + lineage inspection (the reference prints PsiResultReport
+        // counters at run end, psi/utils/table_utils.proto:21-27): meta
+        // fields, physical footprint, compression ratio, and — when the
+        // build wrote per-partition manifests — encode-throughput and
+        // merge-fan-in distributions
+        val spark = session("psispark-stats")
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val dir = opts("index")
+        val meta = IndexBuilder.readMeta(dir)
+        println(s"index $dir")
+        println(f"  docs=${meta.numDocs} terms=${meta.numTerms} " +
+          f"segments=${meta.numSegments} postings=${meta.totalTokens} " +
+          f"avgdl=${meta.avgdl}%.2f docsPerShard=${meta.docsPerShard}")
+        println(s"  fingerprint=${meta.fingerprint}")
+        val post = spark.read.parquet(s"$dir/postings.parquet")
+        val hasPos = post.columns.contains("posBytes")
+        val bytesCols = Seq(length($"docBytes"), length($"tfBytes")) ++
+          (if (hasPos) Seq(coalesce(length($"posBytes"), lit(0))) else Nil)
+        val row = post.agg(
+          sum($"n".cast("long")).as("pairs"),
+          sum(bytesCols.reduce(_ + _).cast("long")).as("bytes")).head()
+        val (pairs, bytes) = (row.getLong(0), row.getLong(1))
+        println(f"  postings pairs=$pairs compressedBytes=$bytes " +
+          f"(${bytes.toDouble / pairs}%.2f B/posting; positional=$hasPos)")
+        for (stage <- Seq("postings", "publish");
+             p = s"$dir/manifests/$stage.parquet"
+             if java.nio.file.Files.exists(java.nio.file.Paths.get(p))) {
+          val m = spark.read.parquet(p)
+            .withColumn("postingsPerSec",
+              when($"elapsedMs" > 0, $"postings" * 1000.0 / $"elapsedMs"))
+          val s = m.agg(count(lit(1)), sum($"postings"), sum($"bytesOut"),
+            min($"postingsPerSec"), expr("percentile(postingsPerSec, 0.5)"),
+            max($"postingsPerSec"), max($"fanIn")).head()
+          println(f"  lineage[$stage]: partitions=${s.getLong(0)} " +
+            f"postings=${s.getLong(1)} bytes=${s.getLong(2)} " +
+            f"postings/sec min=${s.getDouble(3)}%.0f " +
+            f"p50=${s.getDouble(4)}%.0f max=${s.getDouble(5)}%.0f " +
+            f"maxFanIn=${s.getLong(6)}")
+        }
         spark.stop()
 
       case "convert" =>
