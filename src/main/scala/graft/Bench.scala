@@ -116,10 +116,11 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] scaling history append failed: ${e.getMessage}") }
     if (degenerate) {
-      // cpus < 8 collapses the primary pair to (2, 2): eff_2_to_2 ≡ 1.0 is
-      // a tautology, not evidence — such a run may NEVER claim the best
-      // record (it once did, shadowing a real confirmed 0.856)
-      System.err.println("[bench] degenerate primary pair (cpus < 8) — " +
+      // cpus <= 8 collapses the primary pair to (2, 2) (lowCpus = cpus/4
+      // clamps to 2): eff_2_to_2 ≡ 1.0 is a tautology, not evidence — such
+      // a run may NEVER claim the best record (it once did, shadowing a
+      // real confirmed 0.856)
+      System.err.println("[bench] degenerate primary pair (cpus <= 8) — " +
         "scaling recorded in history only, BENCH_best.json untouched")
       return
     }
@@ -542,11 +543,16 @@ object Bench {
         f""""buildSecLow":$tLow%.2f,"buildSecHigh":$tHighFork%.2f,""" +
         f""""filesPerSec2":$thrN2%.1f,"filesPerSecLow":$thrLow%.1f,""" +
         f""""filesPerSecHigh":$thrHighScale%.1f,""" +
-        f""""eff_2_to_$lowCpus":$eff28%.3f,"eff_${lowCpus}_to_$cpus":$efficiency%.3f,""" +
+        f""""eff_2_to_$lowCpus":$eff28%.3f,""" +
+        // the low→high triple duplicates the primary key when there is no
+        // separate diag level (lowCpus == cpus) — emit it only when distinct
+        (if (cpus != lowCpus)
+          f""""eff_${lowCpus}_to_$cpus":$efficiency%.3f,""" +
+            f""""eff_median_${lowCpus}_to_$cpus":$effMedHigh%.3f,""" +
+            f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,"""
+        else "") +
         f""""eff_median_2_to_$lowCpus":$effMed28%.3f,""" +
-        f""""eff_median_${lowCpus}_to_$cpus":$effMedHigh%.3f,""" +
         f""""eff_paired_2_to_$lowCpus":$effPair28%.3f,""" +
-        f""""eff_paired_${lowCpus}_to_$cpus":$effPairHigh%.3f,""" +
         s""""repsPerLevel":${raw(primary.head).size},"diagReps":${diagLevel.map(raw(_).size).getOrElse(0)},""" +
         s""""rawSecByCores":$rawJson,"poisonedRunsByCores":$poisonJson,""" +
         s""""usedCoresByRun":$extJson,"memScoreByRun":$memJson,""" +

@@ -176,11 +176,15 @@ object Main {
           val s = m.agg(count(lit(1)), sum($"postings"), sum($"bytesOut"),
             min($"postingsPerSec"), expr("percentile(postingsPerSec, 0.5)"),
             max($"postingsPerSec"), max($"fanIn")).head()
-          println(f"  lineage[$stage]: partitions=${s.getLong(0)} " +
-            f"postings=${s.getLong(1)} bytes=${s.getLong(2)} " +
-            f"postings/sec min=${s.getDouble(3)}%.0f " +
-            f"p50=${s.getDouble(4)}%.0f max=${s.getDouble(5)}%.0f " +
-            f"maxFanIn=${s.getLong(6)}")
+          // an empty/partial manifest (e.g. crash between last part commit
+          // and the manifest write) aggregates to nulls — report what exists
+          def gl(i: Int) = if (s.isNullAt(i)) 0L else s.getLong(i)
+          val dist =
+            if (s.isNullAt(3)) "postings/sec n/a"
+            else f"postings/sec min=${s.getDouble(3)}%.0f " +
+              f"p50=${s.getDouble(4)}%.0f max=${s.getDouble(5)}%.0f"
+          println(f"  lineage[$stage]: partitions=${gl(0)} " +
+            f"postings=${gl(1)} bytes=${gl(2)} $dist maxFanIn=${gl(6)}")
         }
         spark.stop()
 
@@ -216,16 +220,21 @@ object Main {
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
-        // snippets/facets internally use conjunctive (AND) matching — reject
-        // mode flags they would silently ignore instead of mis-answering;
-        // check the PARSED value, not flag presence (`--or false` is not a
-        // conflicting mode)
+        // query modes are mutually exclusive — a second mode flag would be
+        // SILENTLY dropped by dispatch precedence (mis-answering), so reject
+        // any combination up front; check the PARSED value, not flag
+        // presence (`--or false` is not a conflicting mode)
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "regex" -> regexMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty).collect { case (m, true) => m }
+        if (activeModes.length > 1)
+          sys.error(s"query modes are mutually exclusive — got " +
+            activeModes.map("--" + _).mkString(", "))
+        // snippets/facets internally use conjunctive (AND) matching — reject
+        // mode flags they would silently ignore too
         for (out <- Seq("snippets", "facet") if opts.contains(out);
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +

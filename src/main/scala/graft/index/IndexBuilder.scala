@@ -623,7 +623,9 @@ object IndexBuilder {
           acc.add(PartitionManifest(stage, TaskContext.getPartitionId(),
             nSegs, postings, bytes,
             digest.digest().map(x => f"$x%02x").mkString,
-            (System.nanoTime() - t0) / 1000000, fanIn))
+            // clamp to >= 1 ms: a sub-ms partition would truncate to 0 and
+            // make derived postings/sec undefined (null) downstream
+            math.max(1L, (System.nanoTime() - t0) / 1000000), fanIn))
         }
         h
       }

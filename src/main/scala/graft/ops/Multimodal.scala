@@ -171,12 +171,16 @@ object Multimodal {
         val m = b(p + 1) & 0xff
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
           // SOFn frame header: len(2) precision(1) height(2) width(2) ...
+          require(p + 8 < n, s"media ${r.media_id}: torn JPEG SOF header at $p")
           val h = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
           val w = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
           return RealMediaFeatures(r.media_id, r.modality, n, w, h, 0)
         } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
           p += 2 // standalone marker, no length field
         } else {
+          // segment with a 2-byte length field — bounds-checked so a
+          // truncated stream (e.g. SOI+EOI only) errors cleanly, not AIOOBE
+          require(p + 3 < n, s"media ${r.media_id}: torn JPEG segment at $p")
           p += 2 + (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff))
         }
       }
@@ -189,8 +193,10 @@ object Multimodal {
       while (p + 8 <= n && (byteRate < 0 || dataSize < 0)) {
         val id = new String(b, p, 4, "US-ASCII")
         val sz = leInt(b, p + 4)
-        if (id == "fmt ") byteRate = leInt(b, p + 8 + 8)
-        else if (id == "data") dataSize = sz
+        if (id == "fmt ") {
+          require(p + 20 <= n - 4, s"media ${r.media_id}: torn WAV fmt chunk at $p")
+          byteRate = leInt(b, p + 8 + 8)
+        } else if (id == "data") dataSize = sz
         p += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       require(byteRate > 0 && dataSize >= 0,

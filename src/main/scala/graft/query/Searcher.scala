@@ -712,10 +712,28 @@ object Searcher {
     * require: literal token chars ([a-z0-9_]) up to the first regex
     * metacharacter; if that metacharacter quantifies the previous char as
     * optional (`?`, `*`, `{` — e.g. `ab?` matches `a`), the last collected
-    * char is dropped. Used to push a startsWith range filter into the dict
-    * scan; "" (no pushdown) is always safe.
+    * char is dropped. A TOP-LEVEL alternation (`util_1|val`) makes any
+    * prefix walk unsound — an alternative need not share the prefix — so
+    * the pre-scan returns "" (full dict scan) whenever an unescaped `|`
+    * appears at paren depth 0; alternation INSIDE a group after the prefix
+    * (`ab(c|d)`) is fine, every match still starts with the prefix. Used to
+    * push a startsWith range filter into the dict scan; "" (no pushdown)
+    * is always safe.
     */
   private[graft] def literalPrefix(pattern: String): String = {
+    // soundness pre-scan: any top-level alternation voids the prefix
+    var depth = 0
+    var j = 0
+    while (j < pattern.length) {
+      pattern.charAt(j) match {
+        case '\\' => j += 1 // skip the escaped char
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 0 => return ""
+        case _ => ()
+      }
+      j += 1
+    }
     val sb = new StringBuilder
     var i = 0
     while (i < pattern.length) {
