@@ -368,11 +368,20 @@ object Bench {
     // (64 MiB xor-walk) run immediately before each timed build — its
     // passes/sec drop by the same host pressure that inflates the build.
     // Each run records its score (memScoreByRun, cross-record comparable);
-    // a run scoring < memCleanFrac of the best score seen THIS bench run
-    // is flagged dirty. A uniformly-degraded run (no clean best to compare
-    // against) still records absolute scores for cross-record audit.
+    // a run scoring < memCleanFrac of the MEDIAN score of THIS bench run is
+    // flagged dirty. The reference must be the median, not the max: the
+    // probe itself is bimodal — the single-thread loop occasionally lands a
+    // ~2× "fast" sample (core placement / turbo luck) while the builds
+    // around it are unchanged (measured 2026-08-17: level-2 probes
+    // 60.9-81.6 vs a 157-160 burst in reps 5-7, build times flat at
+    // 147-168 s) — so a max reference let one lucky probe poison every
+    // normal-mode run (11 of 18 flagged, minConfirmed blocked). Against
+    // the median, only a genuine collapse (score far below the run's
+    // typical host state) flags; a uniformly-degraded hour flags nothing
+    // here and is instead caught by the budget-extend + cross-record
+    // history audit of absolute scores.
     val MemCleanFrac =
-      sys.env.getOrElse("SPARK_GRAFT_MEM_CLEAN_FRAC", "0.8").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_MEM_CLEAN_FRAC", "0.6").toDouble
     val memBuf = new Array[Long](8 << 20) // 64 MiB
     def memScore(): Double = { // buffer passes per second, ~1.5 s sample
       var pass = 0
@@ -387,9 +396,9 @@ object Bench {
     memScore() // JIT-warm the loop so run 1's sample is comparable
     val memRaw = scala.collection.mutable.LinkedHashMap[Int, Vector[Double]]()
     levels.foreach(n => memRaw(n) = Vector.empty)
-    def bestMem: Double = {
-      val all = levels.flatMap(n => memRaw(n))
-      if (all.isEmpty) Double.NaN else all.max
+    def medMem: Double = {
+      val all = levels.flatMap(n => memRaw(n)).sorted
+      if (all.isEmpty) Double.NaN else all((all.size - 1) / 2)
     }
     def extDirty(n: Int, i: Int): Boolean = {
       val u = usedRaw(n)(i)
@@ -398,7 +407,7 @@ object Bench {
         else u - (n + 2.0) > ExtCleanCores || // visible co-tenant load
           u < StarveFrac * (n + 2.0)          // invisible starvation
       val m = memRaw(n)(i)
-      val memDirty = !m.isNaN && !bestMem.isNaN && m < MemCleanFrac * bestMem
+      val memDirty = !m.isNaN && !medMem.isNaN && m < MemCleanFrac * medMem
       cpuDirty || memDirty
     }
     def buildAtMeasured(n: Int): Double = {
@@ -565,7 +574,7 @@ object Bench {
           s""""scaleMethod":"spark-submit local-cluster[W,2,2048]: separate executor JVMs, identical 2-core/2GiB workers (GC/JIT threads capped to container size), W=1/4 = N/4N executors (primary, decide the record + stop rule), W=16 = 16N memory-wall diagnostic (fixed $diagReps reps, outside the stop rule); cores key = 2*W","""
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
-        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST violation: visible co-tenant load (usedCoresByRun from /proc/stat: used - (n+2) > extCleanCores), invisible VM-level starvation (used < starveFrac*(n+2)), or PER-CORE THROUGHPUT degradation (memScoreByRun: a fixed single-thread 64MiB memory-stream calibration run before each build scores < memCleanFrac of the run's best — r4 measured the degraded plateau at FULL cpu utilization, so only a work-rate probe exposes it) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
+        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST violation: visible co-tenant load (usedCoresByRun from /proc/stat: used - (n+2) > extCleanCores), invisible VM-level starvation (used < starveFrac*(n+2)), or PER-CORE THROUGHPUT degradation (memScoreByRun: a fixed single-thread 64MiB memory-stream calibration run before each build scores < memCleanFrac of the run's MEDIAN score — r4 measured the degraded plateau at FULL cpu utilization, so only a work-rate probe exposes it; median not max because the probe itself bursts ~2x on placement luck while builds stay flat, so a max reference poisoned normal-mode runs) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 
@@ -631,6 +640,16 @@ object Bench {
       pats.foreach(p => searcher.searchRegex(p, 10).collect())
       val lat = pats.map(p => timed(searcher.searchRegex(p, 10).collect())._2).sorted
       qsecs("bm25_regex_p50") = pct(lat, 0.50)
+    }
+
+    // boolean-tree queries: conjunctive-rooted (rare required term leads),
+    // OR-rooted (union walk), and a NOT leaf inside a group
+    {
+      val bqs = Seq("(util_7 def) OR (util_3 val)", "util_7 (def OR -val)",
+        "import -(util_7 util_3)", "(util_1 OR util_2) def class")
+      bqs.foreach(q => searcher.searchBool(q, 10).collect())
+      val lat = bqs.map(q => timed(searcher.searchBool(q, 10).collect())._2).sorted
+      qsecs("bm25_bool_p50") = pct(lat, 0.50)
     }
 
     // proximity (NEAR/w) latency rides the positional index below

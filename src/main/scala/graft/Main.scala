@@ -217,6 +217,7 @@ object Main {
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val regexMode = opts.getOrElse("regex", "false").toBoolean
+        val boolMode = opts.getOrElse("bool", "false").toBoolean // e.g. --q "(a b) OR (c -d)" --bool true
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
@@ -226,7 +227,7 @@ object Main {
         // presence (`--or false` is not a conflicting mode)
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
-          "regex" -> regexMode,
+          "regex" -> regexMode, "bool" -> boolMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty).collect { case (m, true) => m }
@@ -261,6 +262,7 @@ object Main {
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (regexMode) searcher.searchRegex(q, k)
+                    else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
                     else (nearWin, notExpr, whereExpr) match {
                       case (Some(w), _, _) => searcher.searchNear(q, k, w)
@@ -285,6 +287,8 @@ object Main {
               searcher.expandPrefix(q).mkString(" "), k)
             else if (regexMode) OracleBm25.topKOr(files,
               searcher.expandRegex(q).mkString(" "), k)
+            else if (boolMode) OracleBm25.topKBool(files,
+              graft.query.BoolQuery.parse(q), k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
             else (nearWin, notExpr, whereExpr) match {
               case (Some(w), _, _) => OracleBm25.topKNear(files, q, w, k)

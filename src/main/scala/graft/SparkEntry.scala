@@ -342,6 +342,26 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_bool" -> ((s, dir) => {
+      // boolean-tree query (nested AND under OR): a doc matches either
+      // conjunctive clause and scores the sum of its MATCHED clauses
+      // (Searcher.searchBool; Lucene BooleanQuery semantics)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool("(util_7 def) OR (util_3 val)", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_bool_not" -> ((s, dir) => {
+      // boolean tree with a NEGATED leaf inside an OR group: matches docs
+      // with util_7 and (def present OR val absent); NOT clauses filter,
+      // never score
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool("util_7 (def OR -val)", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_filtered" -> ((s, dir) => {
       // metadata-filtered BM25: the filter docId list rides the galloping
       // intersection as a zero-idf list (Searcher.searchWhere)
@@ -1181,6 +1201,65 @@ object SparkEntry {
          |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
          |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // boolean-tree oracle for `(util_7 def) OR (util_3 val)`: per-term
+    // scores as in q_bm25_topk; the match predicate and the clause-sum
+    // mirror the engine's depth-first evaluation order EXACTLY — each
+    // conjunctive clause sums its terms in child order, the OR sums its
+    // MATCHED clauses left to right (an unmatched clause contributes the
+    // additive identity 0.0, bit-exact for finite positive scores)
+    "q_bm25_bool" -> {
+      val terms = Seq("util_7", "def", "util_3", "val")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      val c1 = "s_util_7 IS NOT NULL AND s_def IS NOT NULL"
+      val c2 = "s_util_3 IS NOT NULL AND s_val IS NOT NULL"
+      val scoreSum = s"(CASE WHEN $c1 THEN s_util_7 + s_def ELSE 0.0 END) + " +
+        s"(CASE WHEN $c2 THEN s_util_3 + s_val ELSE 0.0 END)"
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE ($c1) OR ($c2)
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // boolean tree with a negated leaf: `util_7 (def OR -val)` — candidates
+    // hold util_7 and (def, or no val); NOT contributes no score mass, so
+    // the sum is s_util_7 + (s_def when present else 0.0)
+    "q_bm25_bool_not" -> {
+      val terms = Seq("util_7", "def", "val")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      val scoreSum =
+        "s_util_7 + (CASE WHEN s_def IS NOT NULL THEN s_def ELSE 0.0 END)"
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE s_util_7 IS NOT NULL AND (s_def IS NOT NULL OR s_val IS NULL)
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
 

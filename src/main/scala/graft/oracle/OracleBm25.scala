@@ -209,6 +209,57 @@ object OracleBm25 {
       restrictTo = Some(nearDocs))
   }
 
+  /** Top-k for a boolean tree (AND/OR/NOT nesting): per-term BM25 scores
+    * are computed with the same DataFrame ops as [[topK]]; the match test
+    * and clause-sum score then reuse the ENGINE's own tree walker
+    * ([[graft.query.BoolQuery.evalScore]]) over a per-doc term→score map —
+    * so the depth-first summation order is identical by construction and
+    * only the per-term doubles (checked bit-exact by every other gate) are
+    * independently derived.
+    */
+  def topKBool(files: DataFrame, tree: graft.query.BoolQ, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    import graft.query.BoolQuery
+    val terms = BoolQuery.leafTerms(tree)
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (terms.isEmpty) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val tf = withId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val dlen = tf.groupBy("docId").agg(sum("tf").cast("int").as("dlen"))
+    val numDocs = files.count()
+    val totalTokens = dlen.agg(sum($"dlen".cast("long"))).as[Long].head()
+    val avgdl = totalTokens.toDouble / numDocs
+    val dfByTerm = tf.filter($"term".isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    if (dfByTerm.isEmpty) return empty
+    val idfDf = broadcast(
+      dfByTerm.keys.toSeq.sorted.map(t => (t, idf(numDocs, dfByTerm(t))))
+        .toDF("term", "idf"))
+    val perDoc = tf.filter($"term".isin(terms: _*))
+      .join(dlen, "docId")
+      .join(idfDf, "term")
+      .withColumn("s",
+        ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
+          ($"tf".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) + lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
+      .groupBy("docId")
+      .agg(map_from_entries(collect_list(struct($"term", $"s"))).as("m"))
+      .as[(Long, Map[String, Double])]
+    perDoc.map { case (d, m) =>
+        (d, BoolQuery.evalScore(tree, m.contains, m(_)))
+      }
+      .filter(!_._2.isNaN)
+      .toDF("docId", "score")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
                        k1: Double, b: Double, conjunctive: Boolean,
                        restrictTo: Option[DataFrame] = None): DataFrame = {

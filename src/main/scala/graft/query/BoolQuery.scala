@@ -1,0 +1,246 @@
+package graft.query
+
+import graft.index.Tokenize
+
+/** Boolean query trees: arbitrary nesting of AND / OR / NOT over term
+  * leaves — `(util_7 def) OR (util_3 -val)` — the expression form the
+  * reference exposes only as flat set algebra (intersect / except /
+  * union over whole parties, psi/proto/psi.proto ADVANCED_JOIN_TYPE_*);
+  * here composed per-document over posting lists, the standard
+  * search-engine BooleanQuery.
+  *
+  * Grammar (whitespace-separated; keywords are UPPERCASE so lowercase
+  * `or`/`and`/`not` stay ordinary terms):
+  * {{{
+  *   expr    := andExpr ( 'OR' andExpr )*
+  *   andExpr := unary ( 'AND'? unary )*      // juxtaposition = AND
+  *   unary   := '-' unary | 'NOT' unary | atom
+  *   atom    := '(' expr ')' | WORD          // WORD normalizes via Tokenize
+  * }}}
+  * A WORD that normalizes to several tokens (`Foo.bar` → `foo`, `bar`)
+  * becomes their AND, matching how the flat query modes tokenize.
+  *
+  * Scoring semantics (Lucene BooleanQuery shape): a document matches the
+  * tree under the obvious AND/OR/NOT logic; its score is the sum of the
+  * scores of the MATCHED sub-clauses, recursively — a term leaf scores its
+  * BM25 contribution, an OR sums only the children that matched, a NOT
+  * contributes 0.0 (negative clauses filter, they never score), and the
+  * summation order is the depth-first left-to-right tree order (so engine
+  * and oracle produce bit-identical Doubles given identical inputs).
+  *
+  * Pure-negative / match-all trees (`-a`, `a OR -b`) are rejected up
+  * front: a tree that matches a document containing NONE of its terms can
+  * only be answered by a full corpus scan, not by posting lists
+  * ([[BoolQuery.matchesEmptyDoc]] — the same reason Lucene rejects
+  * pure-negative BooleanQueries).
+  */
+sealed trait BoolQ extends Serializable
+
+object BoolQ {
+  final case class Term(t: String) extends BoolQ
+  final case class And(xs: Vector[BoolQ]) extends BoolQ
+  final case class Or(xs: Vector[BoolQ]) extends BoolQ
+  final case class Not(x: BoolQ) extends BoolQ
+}
+
+object BoolQuery {
+  import BoolQ._
+
+  // ------------------------------------------------------------- parsing
+
+  private sealed trait Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object Minus extends Tok
+  private case object KwOr extends Tok
+  private case object KwAnd extends Tok
+  private case object KwNot extends Tok
+  private final case class Word(w: String) extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += LParen; i += 1 }
+      else if (c == ')') { out += RParen; i += 1 }
+      else if (c == '-') { out += Minus; i += 1 }
+      else {
+        val start = i
+        while (i < n && !s.charAt(i).isWhitespace &&
+               s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+        s.substring(start, i) match {
+          case "OR" => out += KwOr
+          case "AND" => out += KwAnd
+          case "NOT" => out += KwNot
+          case w => out += Word(w)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Parse a boolean query; throws IllegalArgumentException on syntax
+    * errors (unbalanced parens, dangling operators, empty groups).
+    */
+  def parse(query: String): BoolQ = {
+    val toks = lex(query)
+    require(toks.nonEmpty, s"empty boolean query: '$query'")
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def next(): Tok = {
+      if (pos >= toks.length) throw new IllegalArgumentException(
+        s"unexpected end of boolean query: '$query'")
+      val t = toks(pos); pos += 1; t
+    }
+
+    def expr(): BoolQ = {
+      val first = andExpr()
+      val alts = Vector.newBuilder[BoolQ]
+      alts += first
+      var more = true
+      while (more) peek match {
+        case Some(KwOr) => next(); alts += andExpr()
+        case _ => more = false
+      }
+      val xs = alts.result()
+      if (xs.length == 1) xs.head else Or(flatten(xs, isOr = true))
+    }
+    def andExpr(): BoolQ = {
+      val parts = Vector.newBuilder[BoolQ]
+      parts += unary()
+      var more = true
+      while (more) peek match {
+        case Some(KwAnd) => next(); parts += unary()
+        case Some(LParen) | Some(Minus) | Some(KwNot) | Some(Word(_)) =>
+          parts += unary()
+        case _ => more = false
+      }
+      val xs = parts.result()
+      if (xs.length == 1) xs.head else And(flatten(xs, isOr = false))
+    }
+    def unary(): BoolQ = peek match {
+      case Some(Minus) | Some(KwNot) =>
+        next()
+        Not(unary()) match { case Not(Not(x)) => x; case q => q } // ¬¬x = x
+      case _ => atom()
+    }
+    def atom(): BoolQ = next() match {
+      case LParen =>
+        val e = expr()
+        peek match {
+          case Some(RParen) => next(); e
+          case _ => throw new IllegalArgumentException(
+            s"unbalanced '(' in boolean query: '$query'")
+        }
+      case Word(w) =>
+        val ts = Tokenize.tokenize(w)
+        require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
+        if (ts.length == 1) Term(ts.head)
+        else And(ts.map(Term(_)).toVector)
+      case t => throw new IllegalArgumentException(
+        s"unexpected '$t' in boolean query: '$query'")
+    }
+
+    val root = expr()
+    require(pos == toks.length,
+      s"trailing input after position $pos in boolean query: '$query'")
+    root
+  }
+
+  private def flatten(xs: Vector[BoolQ], isOr: Boolean): Vector[BoolQ] =
+    xs.flatMap {
+      case Or(ys) if isOr => ys
+      case And(ys) if !isOr => ys
+      case q => Vector(q)
+    }
+
+  // ---------------------------------------------------------- tree algebra
+
+  /** Distinct leaf terms in ascending order (both polarities — all are
+    * needed for presence tests).
+    */
+  def leafTerms(q: BoolQ): Seq[String] = {
+    def walk(q: BoolQ): Iterator[String] = q match {
+      case Term(t) => Iterator.single(t)
+      case And(xs) => xs.iterator.flatMap(walk)
+      case Or(xs) => xs.iterator.flatMap(walk)
+      case Not(x) => walk(x)
+    }
+    walk(q).toVector.distinct.sorted
+  }
+
+  /** Does the tree match a document containing NONE of its terms? Such a
+    * tree (pure-negative / match-all) cannot be answered from posting
+    * lists and is rejected by [[Searcher.searchBool]].
+    */
+  def matchesEmptyDoc(q: BoolQ): Boolean = matches(q, _ => false)
+
+  /** Exact boolean match given per-term presence. */
+  def matches(q: BoolQ, has: String => Boolean): Boolean = q match {
+    case Term(t) => has(t)
+    case And(xs) => xs.forall(matches(_, has))
+    case Or(xs) => xs.exists(matches(_, has))
+    case Not(x) => !matches(x, has)
+  }
+
+  /** OPTIMISTIC satisfiability: can the tree possibly match when term `t`
+    * may be present only where `mayHave(t)` holds? `Not` is always
+    * optimistically satisfiable (absence is always possible). Used for
+    * driver-side early exit (mayHave = df > 0) and per-shard pruning
+    * (mayHave = term has postings in the shard) — both sound (never prunes
+    * a shard that could hold a match), both exact for pure-AND trees.
+    */
+  def satisfiable(q: BoolQ, mayHave: String => Boolean): Boolean = q match {
+    case Term(t) => mayHave(t)
+    case And(xs) => xs.forall(satisfiable(_, mayHave))
+    case Or(xs) => xs.exists(satisfiable(_, mayHave))
+    case Not(_) => true
+  }
+
+  /** Terms REQUIRED in every matching document: the positive direct Term
+    * children of a root AND (and of nested ANDs reached only through ANDs).
+    * The rarest of these leads the per-shard traversal — same
+    * smallest-list-leads discipline as the conjunctive kernel.
+    */
+  def requiredTerms(q: BoolQ): Seq[String] = q match {
+    case Term(t) => Seq(t)
+    case And(xs) => xs.flatMap(requiredTerms).distinct
+    case _ => Seq.empty
+  }
+
+  /** Evaluate match + score for one document. `score(t)` must only be
+    * called for present terms. Returns NaN when unmatched (callers test
+    * with [[matches]] first or use [[evalScore]]'s contract: a matched
+    * node's score is finite; NaN = no match). Summation is depth-first
+    * left-to-right — the determinism contract shared with the oracles.
+    */
+  def evalScore(q: BoolQ, has: String => Boolean,
+                score: String => Double): Double = q match {
+    case Term(t) => if (has(t)) score(t) else Double.NaN
+    case And(xs) =>
+      var s = 0.0
+      var i = 0
+      while (i < xs.length) {
+        val c = evalScore(xs(i), has, score)
+        if (c.isNaN) return Double.NaN
+        s += c
+        i += 1
+      }
+      s
+    case Or(xs) =>
+      var s = 0.0
+      var any = false
+      var i = 0
+      while (i < xs.length) {
+        val c = evalScore(xs(i), has, score)
+        if (!c.isNaN) { any = true; s += c }
+        i += 1
+      }
+      if (any) s else Double.NaN
+    case Not(x) =>
+      if (evalScore(x, has, score).isNaN) 0.0 else Double.NaN
+  }
+}

@@ -475,6 +475,72 @@ class Searcher(spark: SparkSession, indexDir: String,
   def searchOr(query: String, k: Int): Dataset[Hit] =
     searchOrTerms(Tokenize.tokenize(query).distinct.sorted, k)
 
+  /** Boolean-tree top-k BM25: arbitrary AND/OR/NOT nesting over term
+    * leaves — `(util_7 def) OR (util_3 -val)` — parsed by [[BoolQuery]].
+    * A document matches under the tree's logic and scores the sum of its
+    * MATCHED sub-clauses (Lucene BooleanQuery semantics; NOT clauses
+    * filter, never score; summation in depth-first tree order — the
+    * determinism contract the oracle reproduces).
+    *
+    * Scale shape: shard pruning is the tree's own algebra over the cached
+    * per-term shard sets ([[BoolQuery.satisfiable]] — exact for pure-AND,
+    * sound for every tree); when the root is conjunctive, the rarest
+    * REQUIRED term's posting list leads the per-shard traversal and every
+    * other list is galloped, so selective ANDs pay the conjunctive price,
+    * not the union walk. Block-max pruning inside arbitrary trees needs
+    * admissible per-subtree bounds and is intentionally not attempted —
+    * results stay exact by construction.
+    */
+  def searchBool(query: String, k: Int): Dataset[Hit] =
+    searchBoolTree(BoolQuery.parse(query), k)
+
+  /** [[searchBool]] over an already-parsed tree. */
+  def searchBoolTree(tree: BoolQ, k: Int): Dataset[Hit] = {
+    require(!BoolQuery.matchesEmptyDoc(tree),
+      s"pure-negative / match-all boolean query (matches a document with " +
+        s"none of its terms — unanswerable from posting lists): $tree")
+    val allTerms = BoolQuery.leafTerms(tree)
+    if (allTerms.isEmpty) return spark.emptyDataset[Hit]
+    val info = lookupTerms(allTerms)
+    // a term absent from the dictionary can never be present anywhere
+    if (!BoolQuery.satisfiable(tree, t => info(t).df > 0L))
+      return spark.emptyDataset[Hit]
+    val live = allTerms.filter(t => info(t).df > 0L)
+    val idfByTerm: Map[String, Double] =
+      live.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    // per-shard prune by the tree's own satisfiability over shard sets
+    val shardSets: Map[String, Array[Int]] =
+      live.map(t => t -> info(t).shards).toMap
+    val candShards: Seq[Int] = live.flatMap(t => shardSets(t)).distinct.sorted
+      .filter { sh =>
+        BoolQuery.satisfiable(tree, t => shardSets.get(t).exists(a =>
+          java.util.Arrays.binarySearch(a, sh) >= 0))
+      }
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+    val required = BoolQuery.requiredTerms(tree).filter(live.contains).sorted
+
+    val segsC = postings.filter($"term".isin(live: _*) &&
+      $"shard".isin(candShards: _*)).as[PostingSeg]
+      .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
+    val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val liveSorted = live
+    val (accS, accT) = (candidatesScored, shardsTouched)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del)
+        val segsByTerm = rest.groupBy(_.term)
+        if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardBool(segsByTerm, Searcher.mergeLens(lenIt), tree,
+            liveSorted, required, idfByTerm, k1, b, avgdl, k, accS, deleted)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Prefix (wildcard `prefix*`) top-k BM25: the prefix is expanded against
     * the term dictionary — `term >= prefix` range scan, pushed down to the
     * dict parquet — into its matching terms, capped at the `maxExpand`
@@ -1324,6 +1390,90 @@ object Searcher {
     }
     if (accScored != null) accScored.add(scored)
     if (accPruned != null) accPruned.add(pruned)
+    heap.iterator.toArray.iterator
+  }
+
+  /** Per-shard boolean-tree evaluation (document-at-a-time, exact):
+    * candidates come from the rarest REQUIRED term's list when the tree's
+    * root is conjunctive (every match must contain it), otherwise from the
+    * ascending merge of ALL lists (sound because match-all trees are
+    * rejected up front — every matching doc holds at least one tree term).
+    * Per candidate, every list gallops its cursor forward (monotone — each
+    * list is traversed at most once per shard), presence + tf are read at
+    * the cursor, and [[BoolQuery.evalScore]] walks the tree.
+    */
+  def scoreShardBool(segsByTerm: Map[String, Array[PostingSeg]],
+                     lens: ShardLens, tree: BoolQ,
+                     termsSorted: Seq[String], required: Seq[String],
+                     idfByTerm: Map[String, Double],
+                     k1: Double, b: Double, avgdl: Double, k: Int,
+                     accScored: LongAccumulator,
+                     deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    // a required term with no postings in this shard → no match possible
+    if (required.exists(t => !segsByTerm.contains(t))) return Iterator.empty
+    val present = termsSorted.filter(segsByTerm.contains)
+    val lists: Array[TermList] = present.map(t =>
+      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+        deleted)).toArray
+    val byTerm: Map[String, Int] = present.zipWithIndex.toMap
+    val n = lists.length
+    if (n == 0) return Iterator.empty
+    if (required.exists(t => lists(byTerm(t)).docs.isEmpty)) return Iterator.empty
+
+    // candidate source: rarest required list, or the all-list merge
+    val leadIdx: Int =
+      if (required.isEmpty) -1
+      else required.map(byTerm).minBy(i => lists(i).docs.length)
+    def nextCandidate(prev: Long): Long = {
+      if (leadIdx >= 0) {
+        val l = lists(leadIdx)
+        if (prev >= 0) l.pos = gallop(l.docs, l.pos, prev + 1)
+        if (l.pos < l.docs.length) l.docs(l.pos) else Long.MinValue
+      } else {
+        // min over cursors strictly past prev
+        var best = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val l = lists(i)
+          if (prev >= 0) l.pos = gallop(l.docs, l.pos, prev + 1)
+          if (l.pos < l.docs.length && l.docs(l.pos) < best) best = l.docs(l.pos)
+          i += 1
+        }
+        if (best == Long.MaxValue) Long.MinValue else best
+      }
+    }
+
+    val heap = mutable.PriorityQueue.empty[Hit](
+      Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var scored = 0L
+    val has = new Array[Boolean](n)
+    var cand = nextCandidate(-1L)
+    while (cand != Long.MinValue) {
+      var i = 0
+      while (i < n) {
+        val l = lists(i)
+        l.pos = gallop(l.docs, l.pos, cand)
+        has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
+        i += 1
+      }
+      val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+      val denomK = k1 * (1.0 - b + b * (dlen / avgdl))
+      val score = BoolQuery.evalScore(tree,
+        t => byTerm.get(t).exists(has),
+        { t =>
+          val l = lists(byTerm(t))
+          val tf = l.tfs(l.pos).toDouble
+          (idfByTerm(t) * (tf * k1p1)) / (tf + denomK)
+        })
+      if (!score.isNaN) {
+        scored += 1
+        if (heap.size < k) heap.enqueue(Hit(cand, score))
+        else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+      }
+      cand = nextCandidate(cand)
+    }
+    if (accScored != null) accScored.add(scored)
     heap.iterator.toArray.iterator
   }
 }

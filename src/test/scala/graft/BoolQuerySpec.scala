@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.oracle.OracleBm25
+import graft.query.{BoolQ, BoolQuery, Searcher}
+import graft.query.BoolQ._
+
+/** Boolean-tree queries: parser semantics + engine-vs-oracle rank identity
+  * (bit-exact scores) on the shared test index, including randomized trees.
+  */
+class BoolQuerySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val (corpusDir, indexDir) = TestSpark.builtIndex
+  lazy val files = spark.read.parquet(s"$corpusDir/files.parquet")
+  lazy val searcher = new Searcher(spark, indexDir)
+
+  private def got(q: String, k: Int = 10) =
+    searcher.searchBool(q, k).collect().map(h => (h.docId, h.score)).toSeq
+  private def want(tree: BoolQ, k: Int = 10) =
+    OracleBm25.topKBool(files, tree, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("parser: juxtaposition = AND, keywords, NOT binding, flattening") {
+    assert(BoolQuery.parse("a b c") ==
+      And(Vector(Term("a"), Term("b"), Term("c"))))
+    assert(BoolQuery.parse("a AND b") == And(Vector(Term("a"), Term("b"))))
+    assert(BoolQuery.parse("a OR b OR c") ==
+      Or(Vector(Term("a"), Term("b"), Term("c"))))
+    // OR binds looser than juxtaposed AND
+    assert(BoolQuery.parse("a b OR c d") ==
+      Or(Vector(And(Vector(Term("a"), Term("b"))),
+                And(Vector(Term("c"), Term("d"))))))
+    // '-'/NOT bind to the next unary; double negation cancels
+    assert(BoolQuery.parse("a -b") == And(Vector(Term("a"), Not(Term("b")))))
+    assert(BoolQuery.parse("a NOT b") == BoolQuery.parse("a -b"))
+    assert(BoolQuery.parse("a --b") == And(Vector(Term("a"), Term("b"))))
+    // parens group; nested same-type nodes flatten
+    assert(BoolQuery.parse("(a OR b) c") ==
+      And(Vector(Or(Vector(Term("a"), Term("b"))), Term("c"))))
+    assert(BoolQuery.parse("a (b c)") ==
+      And(Vector(Term("a"), Term("b"), Term("c"))))
+    // multi-token word = AND of its tokens; lowercase or/and/not are terms
+    assert(BoolQuery.parse("Foo.bar") == And(Vector(Term("foo"), Term("bar"))))
+    assert(BoolQuery.parse("a or b") ==
+      And(Vector(Term("a"), Term("or"), Term("b"))))
+    // errors
+    intercept[IllegalArgumentException](BoolQuery.parse("(a b"))
+    intercept[IllegalArgumentException](BoolQuery.parse("a)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("a OR"))
+    intercept[IllegalArgumentException](BoolQuery.parse(""))
+    intercept[IllegalArgumentException](BoolQuery.parse("()"))
+  }
+
+  test("tree algebra: match-all detection, required terms") {
+    assert(BoolQuery.matchesEmptyDoc(BoolQuery.parse("-a")))
+    assert(BoolQuery.matchesEmptyDoc(BoolQuery.parse("a OR -b")))
+    assert(!BoolQuery.matchesEmptyDoc(BoolQuery.parse("a -b")))
+    assert(!BoolQuery.matchesEmptyDoc(BoolQuery.parse("(a b) OR (c -d)")))
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("a b (c OR d)")) ==
+      Seq("a", "b"))
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("a OR b")).isEmpty)
+    assert(BoolQuery.leafTerms(BoolQuery.parse("(b a) OR -c")) ==
+      Seq("a", "b", "c"))
+  }
+
+  test("engine rejects pure-negative / match-all trees") {
+    intercept[IllegalArgumentException](searcher.searchBool("-util_7", 5))
+    intercept[IllegalArgumentException](searcher.searchBool("util_7 OR -val", 5))
+  }
+
+  test("fixed trees: rank identity vs oracle, bit-exact scores") {
+    for (q <- Seq(
+        "(util_7 def) OR (util_3 val)",
+        "util_7 (def OR -val)",
+        "import -(util_7 util_3)",
+        "(util_1 OR util_2 OR util_3) def",
+        "util_7 AND (val OR def) AND NOT util_3")) {
+      val g = got(q)
+      val w = want(BoolQuery.parse(q))
+      assert(g == w, s"query '$q'")
+      assert(g.nonEmpty, s"vacuous gate for '$q'")
+    }
+  }
+
+  test("flat trees agree with the dedicated AND / OR kernels") {
+    val andTree = got("util_7 def")
+    val andFlat = searcher.search("util_7 def", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(andTree == andFlat)
+    val orTree = got("util_7 OR def")
+    val orFlat = searcher.searchOr("util_7 def", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(orTree == orFlat)
+  }
+
+  test("missing terms: dead required term empties, dead OR branch drops out") {
+    assert(searcher.searchBool("util_7 zzqx_nothing", 5).isEmpty)
+    val g = got("util_7 OR zzqx_nothing")
+    val w = searcher.searchOr("util_7", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(g == w)
+  }
+
+  test("randomized trees: rank identity vs oracle") {
+    val vocab = Vector("import", "def", "val", "util_1", "util_2", "util_3",
+      "util_7", "class", "object", "match")
+    val rnd = new scala.util.Random(42)
+    def gen(depth: Int): BoolQ =
+      if (depth == 0) Term(vocab(rnd.nextInt(vocab.length)))
+      else rnd.nextInt(4) match {
+        case 0 => Term(vocab(rnd.nextInt(vocab.length)))
+        case 1 => And(Vector.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 2 => Or(Vector.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 3 => Not(gen(depth - 1))
+      }
+    var tested = 0
+    var it = 0
+    while (tested < 12 && it < 200) {
+      it += 1
+      val tree = gen(3)
+      if (!BoolQuery.matchesEmptyDoc(tree)) {
+        tested += 1
+        val g = searcher.searchBoolTree(tree, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        assert(g == want(tree), s"tree $tree")
+      }
+    }
+    assert(tested == 12)
+  }
+
+  test("shard pruning is the tree's satisfiability algebra") {
+    // a conjunctive root intersects required shard sets: rare terms touch
+    // few shards, so the AND of two rare terms must touch no more shards
+    // than either alone
+    val s2 = new Searcher(spark, indexDir)
+    s2.searchBool("util_7 util_3", 10).collect()
+    val andShards = s2.shardsTouched.value
+    val s3 = new Searcher(spark, indexDir)
+    s3.searchBool("util_7 OR util_3", 10).collect()
+    val orShards = s3.shardsTouched.value
+    assert(andShards <= orShards)
+  }
+}
