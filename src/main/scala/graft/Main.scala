@@ -20,6 +20,10 @@ import graft.query.Searcher
   *          [--near W]       (proximity: all terms within a W-token span)
   *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
   *          [--regex true]   (anchored regex term query: dict-expand, OR-score)
+  *          [--bool true]    (boolean tree: `(a b) OR (c -d)`, `term^2` boosts)
+  *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
+  *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
+  *          [--from N]       (offset pagination of the conjunctive ranking)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *          [--tombstones PATH]  (exclude deleted docs)
@@ -221,6 +225,9 @@ object Main {
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
+        val fuzzyEdits = opts.get("fuzzy").map(_.toInt) // e.g. --fuzzy 1 (Levenshtein edits)
+        val fuzzyPrefix = opts.getOrElse("fuzzyPrefix", "0").toInt
+        val fromRank = opts.getOrElse("from", "0").toInt // offset pagination
         // query modes are mutually exclusive — a second mode flag would be
         // SILENTLY dropped by dispatch precedence (mis-answering), so reject
         // any combination up front; check the PARSED value, not flag
@@ -230,10 +237,16 @@ object Main {
           "regex" -> regexMode, "bool" -> boolMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
-          "near" -> nearWin.nonEmpty).collect { case (m, true) => m }
+          "near" -> nearWin.nonEmpty,
+          "fuzzy" -> fuzzyEdits.nonEmpty).collect { case (m, true) => m }
         if (activeModes.length > 1)
           sys.error(s"query modes are mutually exclusive — got " +
             activeModes.map("--" + _).mkString(", "))
+        // --from pages the plain conjunctive ranking only (a paged variant
+        // of every other mode would silently change its contract)
+        if (fromRank > 0 && activeModes.nonEmpty)
+          sys.error(s"--from paginates the default conjunctive ranking and " +
+            s"cannot be combined with --${activeModes.head}")
         // snippets/facets internally use conjunctive (AND) matching — reject
         // mode flags they would silently ignore too
         for (out <- Seq("snippets", "facet") if opts.contains(out);
@@ -264,12 +277,16 @@ object Main {
                     else if (regexMode) searcher.searchRegex(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
+                    else if (fuzzyEdits.nonEmpty)
+                      searcher.searchFuzzy(q, k, fuzzyEdits.get, fuzzyPrefix)
                     else (nearWin, notExpr, whereExpr) match {
                       case (Some(w), _, _) => searcher.searchNear(q, k, w)
                       case (None, Some(ne), _) => searcher.searchNot(q, ne, k)
                       case (None, None, Some(w)) => searcher.searchWhere(q, k,
                         org.apache.spark.sql.functions.expr(w))
-                      case (None, None, None) => searcher.search(q, k)
+                      case (None, None, None) =>
+                        if (fromRank > 0) searcher.searchPage(q, k, fromRank)
+                        else searcher.search(q, k)
                     }).collect()
         val ms = (System.nanoTime() - t0) / 1e6
         println(f"query '$q' top-$k in $ms%.0f ms " +
@@ -290,15 +307,18 @@ object Main {
             else if (boolMode) OracleBm25.topKBool(files,
               graft.query.BoolQuery.parse(q), k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
+            else if (fuzzyEdits.nonEmpty) OracleBm25.topKOr(files,
+              searcher.expandFuzzy(q, fuzzyEdits.get, fuzzyPrefix).mkString(" "), k)
             else (nearWin, notExpr, whereExpr) match {
               case (Some(w), _, _) => OracleBm25.topKNear(files, q, w, k)
               case (None, Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
               case (None, None, Some(w)) => OracleBm25.topKWhere(files, q, k,
                 org.apache.spark.sql.functions.expr(w))
-              case (None, None, None) => OracleBm25.topK(files, q, k)
+              // paged oracle: top-(from+k) minus the first `from` ranks
+              case (None, None, None) => OracleBm25.topK(files, q, fromRank + k)
             }
           val want = oracleDf.collect()
-            .map(r => (r.getLong(0), r.getDouble(1)))
+            .map(r => (r.getLong(0), r.getDouble(1))).drop(fromRank)
           val got = hits.map(h => (h.docId, h.score))
           val ok = got.sameElements(want)
           println(if (ok) s"ORACLE MATCH: rank-identical (${got.length} hits)"

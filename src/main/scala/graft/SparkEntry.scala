@@ -42,6 +42,7 @@ object SparkEntry {
   // regex gate: anchored full-term match; portable regex core only (same
   // semantics under Java regex and DuckDB's RE2) — expands to util_10..19
   private val RegexQuery = "util_1[0-9]"
+  private val FuzzyQuery = "util_7"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -445,6 +446,36 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchRegex(RegexQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_fuzzy" -> ((s, dir) => {
+      // fuzzy term query (Lucene FuzzyQuery analog): dictionary expansion
+      // to all terms within Levenshtein distance 1 (dist asc, df desc,
+      // term asc, cap 64) → disjunctive WAND scoring; oracle reproduces
+      // the expansion with DuckDB's levenshtein and left-folds scores in
+      // ascending-term order
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchFuzzy(FuzzyQuery, 10, maxEdits = 1)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_boost" -> ((s, dir) => {
+      // query-time boosts inside a boolean tree: matched sub-clauses sum
+      // with their boost multipliers (util_7 doubled, val halved)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool("(util_7^2 def) OR (util_3 val^0.5)", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_page" -> ((s, dir) => {
+      // offset pagination: ranks 10..19 of the exact conjunctive ranking
+      // (per-shard heaps + WAND threshold bounded by from+k)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchPage(Bm25Query, 10, from = 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1264,6 +1295,83 @@ object SparkEntry {
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
+
+    // fuzzy expansion reproduced in SQL (classic Levenshtein ≤ 1 — DuckDB's
+    // levenshtein matches Spark's; same cap rule: dist asc, df desc, term
+    // asc, LIMIT 64), then OR-mode BM25 with the ascending-term left-fold
+    "q_bm25_fuzzy" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |expansion AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE levenshtein(tok, '$FuzzyQuery') <= 1 GROUP BY 1
+         |  ORDER BY levenshtein(tok, '$FuzzyQuery') ASC, count(*) DESC, tok LIMIT 64),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // boosted boolean tree `(util_7^2 def) OR (util_3 val^0.5)`: identical
+    // per-term scores as q_bm25_bool; each boost is ONE IEEE multiply on
+    // the matched leaf score, clause sums mirror the engine's depth-first
+    // order (boosted leaf first within its AND)
+    "q_bm25_boost" -> {
+      val terms = Seq("util_7", "def", "util_3", "val")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      val c1 = "s_util_7 IS NOT NULL AND s_def IS NOT NULL"
+      val c2 = "s_util_3 IS NOT NULL AND s_val IS NOT NULL"
+      val scoreSum =
+        s"(CASE WHEN $c1 THEN s_util_7 * 2.0 + s_def ELSE 0.0 END) + " +
+        s"(CASE WHEN $c2 THEN s_util_3 + s_val * 0.5 ELSE 0.0 END)"
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE ($c1) OR ($c2)
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // paged oracle: the exact q_bm25_topk ranking, ranks 10..19
+    "q_bm25_page" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10 OFFSET 10""".stripMargin
+    },
 
     // regex expansion reproduced in SQL (anchored full-term match, same cap
     // rule: df desc, term asc, LIMIT 64), then OR-mode BM25 with the same

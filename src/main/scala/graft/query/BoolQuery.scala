@@ -15,7 +15,8 @@ import graft.index.Tokenize
   *   expr    := andExpr ( 'OR' andExpr )*
   *   andExpr := unary ( 'AND'? unary )*      // juxtaposition = AND
   *   unary   := '-' unary | 'NOT' unary | atom
-  *   atom    := '(' expr ')' | WORD          // WORD normalizes via Tokenize
+  *   atom    := ( '(' expr ')' | WORD ) boost?   // WORD normalizes via Tokenize
+  *   boost   := '^' NUMBER                   // `util_7^2`, `(a b)^0.3`
   * }}}
   * A WORD that normalizes to several tokens (`Foo.bar` → `foo`, `bar`)
   * becomes their AND, matching how the flat query modes tokenize.
@@ -41,6 +42,13 @@ object BoolQ {
   final case class And(xs: Vector[BoolQ]) extends BoolQ
   final case class Or(xs: Vector[BoolQ]) extends BoolQ
   final case class Not(x: BoolQ) extends BoolQ
+
+  /** Query-time boost (Lucene `term^2.5` / `(a b)^0.3`): the wrapped
+    * subtree's matched score is multiplied by `f` (one IEEE multiply —
+    * bit-exact for the oracle to mirror); match logic is unchanged.
+    * Nested boosts compose multiplicatively by recursion.
+    */
+  final case class Boost(x: BoolQ, f: Double) extends BoolQ
 }
 
 object BoolQuery {
@@ -56,6 +64,7 @@ object BoolQuery {
   private case object KwAnd extends Tok
   private case object KwNot extends Tok
   private final case class Word(w: String) extends Tok
+  private final case class Caret(f: Double) extends Tok
 
   private def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -67,9 +76,23 @@ object BoolQuery {
       else if (c == '(') { out += LParen; i += 1 }
       else if (c == ')') { out += RParen; i += 1 }
       else if (c == '-') { out += Minus; i += 1 }
+      else if (c == '^') {
+        // query-time boost: `^<positive number>` binds to the atom it
+        // follows (`util_7^2`, `(a b)^0.3`)
+        i += 1
+        val start = i
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        val f = try s.substring(start, i).toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"boost '^${s.substring(start, i)}' is not a number in '$s'")
+        }
+        require(f > 0.0 && java.lang.Double.isFinite(f),
+          s"boost must be a finite positive number, got ^$f in '$s'")
+        out += Caret(f)
+      }
       else {
         val start = i
-        while (i < n && !s.charAt(i).isWhitespace &&
+        while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '^' &&
                s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
         s.substring(start, i) match {
           case "OR" => out += KwOr
@@ -127,21 +150,27 @@ object BoolQuery {
         Not(unary()) match { case Not(Not(x)) => x; case q => q } // ¬¬x = x
       case _ => atom()
     }
-    def atom(): BoolQ = next() match {
-      case LParen =>
-        val e = expr()
-        peek match {
-          case Some(RParen) => next(); e
-          case _ => throw new IllegalArgumentException(
-            s"unbalanced '(' in boolean query: '$query'")
-        }
-      case Word(w) =>
-        val ts = Tokenize.tokenize(w)
-        require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
-        if (ts.length == 1) Term(ts.head)
-        else And(ts.map(Term(_)).toVector)
-      case t => throw new IllegalArgumentException(
-        s"unexpected '$t' in boolean query: '$query'")
+    def atom(): BoolQ = {
+      val base = next() match {
+        case LParen =>
+          val e = expr()
+          peek match {
+            case Some(RParen) => next(); e
+            case _ => throw new IllegalArgumentException(
+              s"unbalanced '(' in boolean query: '$query'")
+          }
+        case Word(w) =>
+          val ts = Tokenize.tokenize(w)
+          require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
+          if (ts.length == 1) Term(ts.head)
+          else And(ts.map(Term(_)).toVector)
+        case t => throw new IllegalArgumentException(
+          s"unexpected '$t' in boolean query: '$query'")
+      }
+      peek match { // `atom^f` — boost binds tighter than NOT/AND/OR
+        case Some(Caret(f)) => next(); Boost(base, f)
+        case _ => base
+      }
     }
 
     val root = expr()
@@ -168,6 +197,7 @@ object BoolQuery {
       case And(xs) => xs.iterator.flatMap(walk)
       case Or(xs) => xs.iterator.flatMap(walk)
       case Not(x) => walk(x)
+      case Boost(x, _) => walk(x)
     }
     walk(q).toVector.distinct.sorted
   }
@@ -184,6 +214,7 @@ object BoolQuery {
     case And(xs) => xs.forall(matches(_, has))
     case Or(xs) => xs.exists(matches(_, has))
     case Not(x) => !matches(x, has)
+    case Boost(x, _) => matches(x, has)
   }
 
   /** OPTIMISTIC satisfiability: can the tree possibly match when term `t`
@@ -198,6 +229,7 @@ object BoolQuery {
     case And(xs) => xs.forall(satisfiable(_, mayHave))
     case Or(xs) => xs.exists(satisfiable(_, mayHave))
     case Not(_) => true
+    case Boost(x, _) => satisfiable(x, mayHave)
   }
 
   /** Terms REQUIRED in every matching document: the positive direct Term
@@ -208,6 +240,7 @@ object BoolQuery {
   def requiredTerms(q: BoolQ): Seq[String] = q match {
     case Term(t) => Seq(t)
     case And(xs) => xs.flatMap(requiredTerms).distinct
+    case Boost(x, _) => requiredTerms(x)
     case _ => Seq.empty
   }
 
@@ -242,5 +275,8 @@ object BoolQuery {
       if (any) s else Double.NaN
     case Not(x) =>
       if (evalScore(x, has, score).isNaN) 0.0 else Double.NaN
+    case Boost(x, f) =>
+      val c = evalScore(x, has, score)
+      if (c.isNaN) Double.NaN else c * f
   }
 }

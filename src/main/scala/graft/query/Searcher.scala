@@ -593,6 +593,76 @@ class Searcher(spark: SparkSession, indexDir: String,
       .select("term").as[String].collect().toSeq
   }
 
+  /** Fuzzy term query (Lucene FuzzyQuery analog): the query term is
+    * expanded against the term dictionary into every term within classic
+    * Levenshtein edit distance `maxEdits` (0..2, Lucene's bound; classic —
+    * a transposition costs 2, unlike Lucene's default Damerau variant —
+    * because both Spark's and DuckDB's `levenshtein` are classic, so engine
+    * and oracle agree by construction), ordered (distance asc, df desc,
+    * term asc — deterministic, oracle-reproducible), capped at `maxExpand`,
+    * then scored as a disjunctive (OR) query over the expansion on the same
+    * WAND-pruned kernel as `searchOr` — each variant with its own idf, the
+    * prefix/regex rewrite family's scoring rule.
+    *
+    * Scale shape: `prefixLength` (Lucene's FuzzyQuery prefixLength) requires
+    * that many leading characters to match exactly and is pushed down as a
+    * `startsWith` range filter on the dict parquet scan; a cheap
+    * `length BETWEEN` cut (|len(t)−len(q)| ≤ maxEdits ⇒ necessary) prunes
+    * before the O(len²) distance evaluates. prefixLength=0 degrades to a
+    * full scan of the narrow 3-column distributed dictionary — never
+    * collected beyond the capped expansion.
+    */
+  def searchFuzzy(term: String, k: Int, maxEdits: Int = 1,
+                  prefixLength: Int = 0, maxExpand: Int = 64): Dataset[Hit] = {
+    val expanded = expandFuzzy(term, maxEdits, prefixLength, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else searchOrTerms(expanded.sorted, k)
+  }
+
+  /** The dictionary expansion of a fuzzy term: all terms within
+    * `maxEdits` classic Levenshtein distance of the (normalized) query
+    * term, ordered (distance asc, df desc, term asc), capped at
+    * `maxExpand`.
+    */
+  def expandFuzzy(term: String, maxEdits: Int = 1, prefixLength: Int = 0,
+                  maxExpand: Int = 64): Seq[String] = {
+    val norm = Tokenize.tokenize(term)
+    require(norm.length == 1,
+      s"fuzzy query must normalize to one token, got ${norm.toSeq} from '$term'")
+    val q = norm.head
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"maxEdits must be 0..2 (Lucene's bound), got $maxEdits")
+    require(prefixLength >= 0,
+      s"prefixLength must be >= 0, got $prefixLength")
+    val base =
+      if (prefixLength > 0)
+        dict.filter($"term".startsWith(q.take(prefixLength)))
+      else dict
+    base
+      .filter(length($"term").between(q.length - maxEdits, q.length + maxEdits))
+      .filter(levenshtein($"term", lit(q)) <= maxEdits)
+      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+      .withColumn("dist", levenshtein($"term", lit(q)))
+      .orderBy($"dist".asc, $"df".desc, $"term".asc)
+      .limit(maxExpand)
+      .select("term").as[String].collect().toSeq
+  }
+
+  /** Page `from .. from+k` of the conjunctive ranking (offset pagination,
+    * Lucene's `searchAfter` use case): exact deep paging — the per-shard
+    * heaps and the WAND/block-max threshold are simply bounded by
+    * `from + k`, so correctness is by construction and the cost grows
+    * linearly in the page depth (the same tradeoff every search engine
+    * documents for deep offsets; cap `from` at the API edge in a real
+    * deployment). Rows `from` (0-based) through `from+k-1` of the exact
+    * ranking, in rank order.
+    */
+  def searchPage(query: String, k: Int, from: Int): Dataset[Hit] = {
+    require(from >= 0, s"from must be >= 0, got $from")
+    if (from == 0) search(query, k)
+    else search(query, from + k).offset(from)
+  }
+
   /** The dictionary expansion of a prefix: matching terms ordered by
     * (df desc, term asc), capped at `maxExpand`. The prefix itself is run
     * through the tokenizer (so `UTIL_` and `util_` expand identically) and

@@ -64,6 +64,50 @@ class BoolQuerySpec extends AnyFunSuite {
       Seq("a", "b", "c"))
   }
 
+  test("parser: boosts bind to the preceding atom") {
+    assert(BoolQuery.parse("a^2") == Boost(Term("a"), 2.0))
+    assert(BoolQuery.parse("a^2.5 b") ==
+      And(Vector(Boost(Term("a"), 2.5), Term("b"))))
+    assert(BoolQuery.parse("(a OR b)^0.3") ==
+      Boost(Or(Vector(Term("a"), Term("b"))), 0.3))
+    assert(BoolQuery.parse("-a^2 b") ==
+      And(Vector(Not(Boost(Term("a"), 2.0)), Term("b"))))
+    // boost is transparent to the algebra
+    assert(BoolQuery.leafTerms(BoolQuery.parse("a^2 OR b")) == Seq("a", "b"))
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("a^2 b")) == Seq("a", "b"))
+    assert(!BoolQuery.matchesEmptyDoc(BoolQuery.parse("a^2")))
+    // score multiplies; unmatched stays unmatched
+    val s = BoolQuery.evalScore(BoolQuery.parse("a^2 b"),
+      Set("a", "b"), Map("a" -> 1.5, "b" -> 1.0))
+    assert(s == 1.5 * 2.0 + 1.0)
+    assert(BoolQuery.evalScore(BoolQuery.parse("a^2"), Set.empty[String],
+      Map.empty[String, Double].withDefaultValue(0.0)).isNaN)
+    // errors: non-numeric, non-positive, dangling
+    intercept[IllegalArgumentException](BoolQuery.parse("a^"))
+    intercept[IllegalArgumentException](BoolQuery.parse("a^0"))
+    intercept[IllegalArgumentException](BoolQuery.parse("^2 a"))
+  }
+
+  test("boosted trees: rank identity vs oracle, bit-exact scores") {
+    for (q <- Seq(
+        "(util_7^2 def) OR (util_3 val^0.5)",
+        "util_7^3 OR def",
+        "(util_7 def)^0.25 OR val",
+        "util_7 (def OR val)^2 -util_3")) {
+      val g = got(q)
+      val w = want(BoolQuery.parse(q))
+      assert(g.nonEmpty, s"vacuous boosted gate for '$q'")
+      assert(g == w, s"query '$q'")
+    }
+    // boost reorders ranks vs the unboosted tree but never changes the
+    // match SET (same candidates, different scores)
+    val un = searcher.searchBool("util_7 OR util_3", 1000).collect()
+      .map(_.docId).toSet
+    val bo = searcher.searchBool("util_7^9 OR util_3", 1000).collect()
+      .map(_.docId).toSet
+    assert(un == bo)
+  }
+
   test("engine rejects pure-negative / match-all trees") {
     intercept[IllegalArgumentException](searcher.searchBool("-util_7", 5))
     intercept[IllegalArgumentException](searcher.searchBool("util_7 OR -val", 5))

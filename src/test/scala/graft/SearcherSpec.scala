@@ -244,6 +244,65 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy search: Levenshtein expansion + OR scoring, rank-identical to the oracle") {
+    import org.apache.spark.sql.functions.{col, levenshtein, lit, sum => fsum}
+    val expansion = searcher.expandFuzzy("util_7", maxEdits = 1)
+    // distance-1 neighbors exist by construction (util_0..util_9 subs,
+    // util_7X insertions); the query term itself is distance 0
+    assert(expansion.contains("util_7"))
+    assert(expansion.exists(_ != "util_7"), s"expansion was $expansion")
+    // deterministic expansion rule: dist asc, df desc, term asc, cap 64
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+    val want = dict.groupBy("term").agg(fsum(col("df")).as("df"))
+      .withColumn("dist", levenshtein(col("term"), lit("util_7")))
+      .filter(col("dist") <= 1)
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .limit(64).select("term").as[String].collect().toSeq
+    assert(expansion == want)
+    // every expansion term is genuinely within distance 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(expansion.forall(t => lev(t, "util_7") <= 1))
+    // scoring == OR over the expansion, matches the brute-force oracle
+    val g = got(searcher.searchFuzzy("util_7", 10, maxEdits = 1))
+    assert(g.toSeq == oracleOr(expansion.mkString(" "), 10).toSeq)
+    // maxEdits=0 degenerates to the exact single-term query
+    assert(got(searcher.searchFuzzy("util_7", 10, maxEdits = 0)).toSeq ==
+      got(searcher.searchOr("util_7", 10)).toSeq)
+    // prefixLength pushdown changes the plan, never the answer (every
+    // distance-1 variant of util_7 shares the 4-char prefix 'util')
+    assert(got(searcher.searchFuzzy("util_7", 10, maxEdits = 1,
+      prefixLength = 4)).toSeq == g.toSeq)
+    // no term within distance 1 of an alien token → empty
+    assert(searcher.searchFuzzy("zzqxzzqxzzqx", 5, maxEdits = 1).isEmpty)
+    intercept[IllegalArgumentException] {
+      searcher.searchFuzzy("util_7", 5, maxEdits = 3)
+    }
+  }
+
+  test("offset pagination: pages tile the exact ranking, deep page matches oracle") {
+    val q = "import def util_7"
+    val full = got(searcher.search(q, 30))
+    val p0 = got(searcher.searchPage(q, 10, from = 0))
+    val p1 = got(searcher.searchPage(q, 10, from = 10))
+    val p2 = got(searcher.searchPage(q, 10, from = 20))
+    assert((p0 ++ p1 ++ p2).toSeq == full.toSeq, "pages must tile the ranking")
+    // deep page vs brute-force oracle ranks 10..19
+    val w = OracleBm25.topK(files, q, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).drop(10)
+    assert(p1.toSeq == w.toSeq)
+    // page beyond the end of the ranking is empty
+    val n = OracleBm25.topK(files, q, Int.MaxValue - 1).count().toInt
+    assert(searcher.searchPage(q, 10, from = n).isEmpty)
+    intercept[IllegalArgumentException] { searcher.searchPage(q, 10, -1) }
+  }
+
   test("k larger than hit count returns all hits") {
     val q = "import val def class return"
     val all = OracleBm25.topK(files, q, Int.MaxValue - 1)
