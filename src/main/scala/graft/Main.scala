@@ -25,6 +25,8 @@ import graft.query.Searcher
   *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
   *          [--from N]       (offset pagination of the conjunctive ranking)
   *          [--facet COL]    (facet counts over the full match set)
+  *          [--count true]   (total conjunctive hit count, no ranking)
+  *          [--explain true] (per-term tf/df/idf/contribution for the top-k)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *          [--tombstones PATH]  (exclude deleted docs)
   *          [--snippets CORPUS_DIR]  (print ±8-token context per hit)
@@ -247,9 +249,10 @@ object Main {
         if (fromRank > 0 && activeModes.nonEmpty)
           sys.error(s"--from paginates the default conjunctive ranking and " +
             s"cannot be combined with --${activeModes.head}")
-        // snippets/facets internally use conjunctive (AND) matching — reject
-        // mode flags they would silently ignore too
-        for (out <- Seq("snippets", "facet") if opts.contains(out);
+        // snippets/facets/explain/count internally use conjunctive (AND)
+        // matching — reject mode flags they would silently ignore too
+        for (out <- Seq("snippets", "facet", "explain", "count")
+               if opts.get(out).exists(v => v.nonEmpty && v != "false");
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
             s"combined with --$mode")
@@ -269,6 +272,23 @@ object Main {
           val ms = (System.nanoTime() - t0) / 1e6
           println(f"facets of '$q' by $fc in $ms%.0f ms")
           counts.foreach(r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}"))
+          spark.stop(); return
+        }
+        if (opts.getOrElse("count", "false").toBoolean) {
+          val (n, ms) = { val t0 = System.nanoTime(); val c = searcher.searchCount(q)
+            (c, (System.nanoTime() - t0) / 1e6) }
+          println(f"count '$q': $n matching docs in $ms%.0f ms")
+          spark.stop(); return
+        }
+        if (opts.getOrElse("explain", "false").toBoolean) {
+          val t0 = System.nanoTime()
+          val rows = searcher.explainHits(q, k).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"explain '$q' top-$k in $ms%.0f ms")
+          rows.foreach(r => println(
+            f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f  " +
+            f"${r.getString(2)}%-12s tf=${r.getInt(3)}%-4d df=${r.getLong(4)}%-6d " +
+            f"idf=${r.getDouble(5)}%.4f  contrib=${r.getDouble(6)}%.6f"))
           spark.stop(); return
         }
         val t0 = System.nanoTime()

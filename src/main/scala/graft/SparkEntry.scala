@@ -449,6 +449,28 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_explain" -> ((s, dir) => {
+      // scoring explain (Lucene IndexSearcher.explain analog): one row per
+      // (top-10 hit, query term) with tf/df/idf and the BM25 summand, all
+      // reproduced independently by the oracle from raw text
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .explainHits(Bm25Query, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"),
+          col("term"), col("tf"), col("df"),
+          round(col("idf"), 9).as("idf"),
+          round(col("contribution"), 9).as("contribution"))
+    }),
+
+    "q_bm25_count" -> ((s, dir) => {
+      // total conjunctive hit count (the "N results" a search UI shows):
+      // one distributed count over the codegen-decoded match set
+      CorpusFixture.ensure(s)
+      import s.implicits._
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .matchingDocs(Bm25Query).agg(count(lit(1)).as("n"))
+    }),
+
     "q_bm25_fuzzy" -> ((s, dir) => {
       // fuzzy term query (Lucene FuzzyQuery analog): dictionary expansion
       // to all terms within Levenshtein distance 1 (dist asc, df desc,
@@ -1295,6 +1317,50 @@ object SparkEntry {
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
+
+    // explain oracle: the q_bm25_topk per-term score table, restricted to
+    // the top-10 ranking, with tf/df/idf projected alongside the summand
+    // (the idf and contribution expressions are the exact shapes every
+    // other BM25 gate already bit-matches)
+    "q_bm25_explain" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val idfExpr =
+        "ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5))"
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok, tf.tf, dfs.df, $idfExpr AS idf,
+         |  $idfExpr *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |top AS (SELECT docid, $scoreSum AS raw FROM
+         |  (SELECT docid, count(*) AS nt, $termScores
+         |   FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |  ORDER BY raw DESC, docid LIMIT 10)
+         |SELECT s.docid AS docId, round(top.raw, 9) AS score, s.tok AS term,
+         |  CAST(s.tf AS INT) AS tf, s.df AS df, round(s.idf, 9) AS idf,
+         |  round(s.s, 9) AS contribution
+         |FROM s JOIN top ON s.docid = top.docid
+         |ORDER BY docId, term""".stripMargin
+    },
+
+    // conjunctive hit count: docs containing every query term
+    "q_bm25_count" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      s"""WITH $corpusCte
+         |SELECT count(*) AS n FROM (
+         |  SELECT docid FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY docid HAVING count(DISTINCT tok) = ${terms.length})""".stripMargin
+    },
 
     // fuzzy expansion reproduced in SQL (classic Levenshtein ≤ 1 — DuckDB's
     // levenshtein matches Spark's; same cap rule: dist asc, df desc, term

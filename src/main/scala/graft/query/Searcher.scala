@@ -709,6 +709,71 @@ class Searcher(spark: SparkSession, indexDir: String,
     }
   }
 
+  /** Total number of documents matching ALL query terms (the hit COUNT a
+    * search UI shows next to the top-k): one distributed count over
+    * [[matchingDocs]] — never materializes the match set on the driver.
+    */
+  def searchCount(query: String): Long = matchingDocs(query).count()
+
+  /** Per-term score breakdown for the top-k hits (Lucene
+    * `IndexSearcher.explain` analog): one row per (hit doc, query term) —
+    * `(docId, score, term, tf, df, idf, contribution)` — where
+    * `contribution` is that term's BM25 summand computed by the SAME
+    * IEEE expression shape as the scoring kernel
+    * (`idf · tf·(k1+1) / (tf + k1·(1−b+b·dlen/avgdl))`), so the rows are
+    * bit-exact against both the kernel's accumulated score (ascending-term
+    * sum) and a SQL oracle.
+    *
+    * Plan shape: the ranking itself comes from [[search]] (exact top-k);
+    * the k hit docIds (driver-sized by construction) restrict the postings
+    * scan to their shards via `term IN` + `shard IN` pushdown, the decode
+    * is the codegen'd vbyte Expressions, and dlen comes from
+    * `element_at` on the shard's packed length row — no corpus re-tokenize,
+    * no shuffle wider than the touched shards.
+    */
+  def explainHits(query: String, k: Int): DataFrame = {
+    graft.functions.VByteFunctions.register(spark)
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val hitRows = search(query, k).collect() // top-k: driver-sized
+    val schema = Seq.empty[(Long, Double, String, Int, Long, Double, Double)]
+      .toDF("docId", "score", "term", "tf", "df", "idf", "contribution")
+    if (hitRows.isEmpty || terms.isEmpty) return schema
+    val info = lookupTerms(terms)
+    val live = terms.filter(t => info(t).df > 0L)
+    val dps = meta.docsPerShard
+    val candShards = hitRows.map(h => (h.docId / dps).toInt).distinct.sorted.toSeq
+    val termStats = broadcast(
+      live.map(t => (t, info(t).df, idf(meta.numDocs, info(t).df))).toSeq
+        .toDF("term", "df", "idf"))
+    val hitDf = broadcast(
+      hitRows.toSeq.map(h => (h.docId, h.score)).toDF("docId", "score"))
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    postings
+      .filter($"term".isin(live: _*) && $"shard".isin(candShards: _*))
+      .select($"term", explode(arrays_zip(
+        expr("vbyte_decode_deltas(docBytes, n)").as("d"),
+        expr("vbyte_decode_ints(tfBytes, n)").as("f"))).as("p"))
+      .select($"term", $"p.d".as("docId"), $"p.f".as("tf"))
+      .join(hitDf, "docId")
+      .join(termStats, "term")
+      // merged per-shard length rows — with deltas a straddled shard has
+      // several partial ShardLens rows; the kernel's mergeLens view is the
+      // one the scores were computed against
+      .join(dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
+          .groupByKey(_.shard).mapGroups((_, it) => Searcher.mergeLens(it))
+          .select($"shard", $"firstDocId", $"lens"),
+        ($"docId" / dps).cast("int") === $"shard")
+      .withColumn("dlen",
+        element_at($"lens", ($"docId" - $"firstDocId" + 1).cast("int")))
+      .withColumn("contribution",
+        ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
+          ($"tf".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
+      .select($"docId", $"score", $"term", $"tf", $"df", $"idf", $"contribution")
+      .orderBy($"docId", $"term")
+  }
+
   /** Facet counts over the FULL conjunctive match set: how many matching
     * docs per value of a docs-table metadata column (lang, repo, …) — the
     * standard search-engine facet panel. One broadcast-friendly join of the

@@ -244,6 +244,50 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("explain: per-term contributions sum (ascending-term) to the exact hit score") {
+    import org.apache.spark.sql.functions.col
+    val q = "import def util_7"
+    val hits = got(searcher.search(q, 10))
+    val rows = searcher.explainHits(q, 10).collect()
+    assert(rows.nonEmpty)
+    val terms = graft.index.Tokenize.tokenize(q).distinct.sorted
+    // every hit has one row per query term (conjunctive match)
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == hits.map(_._1).toSet)
+    for ((d, rs) <- byDoc) {
+      assert(rs.map(_.getString(2)).sorted.toSeq == terms.toSeq)
+      // bit-exact: kernel accumulated ascending-term; reproduce that order
+      val sum = rs.sortBy(_.getString(2)).map(_.getDouble(6)).foldLeft(0.0)(_ + _)
+      val score = hits.find(_._1 == d).get._2
+      assert(sum == score, s"doc $d: explain sum $sum != score $score")
+      assert(rs.forall(r => r.getDouble(1) == score)) // score column constant
+    }
+    // tf/df agree with a brute-force recount from the raw text
+    val tfTruth = files
+      .select(org.apache.spark.sql.functions.explode(
+        graft.index.Tokenize.termsCol(col("content"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    val dfByTerm = rows.map(r => (r.getString(2), r.getLong(4))).toMap
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+      .filter(col("term").isin(terms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    assert(dfByTerm == dict)
+    assert(tfTruth.keySet == terms.toSet) // fixture sanity
+    // no-hit query explains to an empty frame with the full schema
+    val empty = searcher.explainHits("zzqx_nothing import", 5)
+    assert(empty.isEmpty && empty.columns.toSeq ==
+      Seq("docId", "score", "term", "tf", "df", "idf", "contribution"))
+  }
+
+  test("searchCount equals the brute-force conjunctive match count") {
+    val q = "import def util_7"
+    val n = searcher.searchCount(q)
+    val want = OracleBm25.topK(files, q, Int.MaxValue - 1).count()
+    assert(n == want && n > 10)
+    assert(searcher.searchCount("zzqx_nothing import") == 0L)
+  }
+
   test("fuzzy search: Levenshtein expansion + OR scoring, rank-identical to the oracle") {
     import org.apache.spark.sql.functions.{col, levenshtein, lit, sum => fsum}
     val expansion = searcher.expandFuzzy("util_7", maxEdits = 1)
