@@ -578,6 +578,17 @@ object Bench {
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 
+    // SCALE-ONLY mode (SPARK_GRAFT_SCALE_ONLY=true): stop after the scaling
+    // record is persisted — lets repeated hunts for a clean host window pay
+    // only the ~25 min scale phase, not phase 2's build+query sweep. The
+    // scaling history and BENCH_best dominance rule accumulate the evidence.
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").exists(_.toBoolean)) {
+      // print-only: BENCH.json (the driver's artifact of record) is NOT
+      // overwritten by a scale-only probe — history/BENCH_best carry it
+      println(s"""SCALE_ONLY_JSON {"scaling":$scaling}""")
+      return
+    }
+
     // ---- phase 2: full-parallelism build + queries ------------------------
     val spark = session(cpus, s"$work/sparklocal")
     val (meta, tHigh) = timed {
@@ -650,6 +661,22 @@ object Bench {
       bqs.foreach(q => searcher.searchBool(q, 10).collect())
       val lat = bqs.map(q => timed(searcher.searchBool(q, 10).collect())._2).sorted
       qsecs("bm25_bool_p50") = pct(lat, 0.50)
+    }
+
+    // fuzzy expansion + OR scoring (dict distance scan dominates)
+    {
+      val fqs = Seq("util_7", "util_42", "import")
+      fqs.foreach(q => searcher.searchFuzzy(q, 10, 1).collect())
+      val lat = fqs.map(q => timed(searcher.searchFuzzy(q, 10, 1).collect())._2).sorted
+      qsecs("bm25_fuzzy_p50") = pct(lat, 0.50)
+    }
+
+    // more-like-this: seed-term selection + 25-term OR query
+    {
+      val corpus = spark.read.parquet(s"$corpusDir/files.parquet")
+      searcher.moreLikeThis(corpus, 42L, 10).collect()
+      qsecs("bm25_mlt") =
+        timed(searcher.moreLikeThis(corpus, 42L, 10).collect())._2
     }
 
     // proximity (NEAR/w) latency rides the positional index below

@@ -30,6 +30,13 @@ import graft.query.Searcher
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
   *          [--tombstones PATH]  (exclude deleted docs)
   *          [--snippets CORPUS_DIR]  (print ±8-token context per hit)
+  *   check  --index DIR   (index fsck: decode every segment, verify
+  *          dict/dlens/docs/meta invariants; exit 4 on corruption)
+  *   suggest --index DIR --q "TERMS" [--maxEdits E]
+  *          (did-you-mean: nearest dictionary term per query token)
+  *   mlt    --index DIR --corpus DIR --doc DOCID [--k K] [--oracle true]
+  *          (more-like-this: tf*idf representative terms of the seed doc,
+  *          OR-scored with the seed excluded)
   *   delete --index DIR [--deltas D1,D2] --keys PARQUET --tombstones PATH
   *          (tombstone docs by (repo, path, commit) keys — Lucene-style
   *          logical delete; `compact --tombstones` applies physically)
@@ -210,6 +217,56 @@ object Main {
         }
         out.write.mode("overwrite").parquet(opts("out"))
         println(s"converted ${opts("in")} -> ${opts("out")} (${out.columns.mkString(",")})")
+        spark.stop()
+
+      case "check" =>
+        // index fsck: re-verify every kernel invariant from the published
+        // files; exit 4 on corruption so ops scripting can gate on it
+        val spark = session("psispark-check")
+        val report = graft.index.IndexCheck.check(spark, opts("index"))
+        println(report.render)
+        spark.stop()
+        if (!report.ok) sys.exit(4)
+
+      case "suggest" =>
+        // did-you-mean: nearest dictionary term per query token
+        val spark = session("psispark-suggest")
+        val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)
+        val searcher = new Searcher(spark, opts("index"), deltas,
+          tombstones = opts.get("tombstones"))
+        val maxEdits = opts.getOrElse("maxEdits", "2").toInt
+        searcher.suggest(opts("q"), maxEdits).foreach {
+          case (t, Some(s)) if s == t => println(s"  $t -> ok")
+          case (t, Some(s)) => println(s"  $t -> did you mean '$s'?")
+          case (t, None) => println(s"  $t -> no suggestion within $maxEdits edits")
+        }
+        spark.stop()
+
+      case "mlt" =>
+        // more-like-this: documents most similar to a seed doc
+        val spark = session("psispark-mlt")
+        val deltas = opts.get("deltas").map(_.split(",").toSeq).getOrElse(Nil)
+        val searcher = new Searcher(spark, opts("index"), deltas,
+          tombstones = opts.get("tombstones"))
+        val docId = opts("doc").toLong
+        val k = opts.getOrElse("k", "10").toInt
+        val files = spark.read.parquet(s"${opts("corpus")}/files.parquet")
+        val t0 = System.nanoTime()
+        val terms = searcher.mltTerms(files, docId)
+        val hits = searcher.moreLikeThis(files, docId, k).collect()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"mlt doc=$docId top-$k in $ms%.0f ms; " +
+          s"terms=${terms.mkString(" ")}")
+        hits.foreach(h => println(f"  doc=${h.docId}%-8d score=${h.score}%.6f"))
+        if (opts.get("oracle").exists(_.toBoolean)) {
+          val want = OracleBm25.topKMlt(files, docId, k).collect()
+            .map(r => (r.getLong(0), r.getDouble(1)))
+          val got = hits.map(h => (h.docId, h.score))
+          val ok = got.sameElements(want)
+          println(if (ok) s"ORACLE MATCH: rank-identical (${got.length} hits)"
+                  else s"ORACLE MISMATCH:\n  got  ${got.toSeq}\n  want ${want.toSeq}")
+          if (!ok) sys.exit(3)
+        }
         spark.stop()
 
       case "query" =>

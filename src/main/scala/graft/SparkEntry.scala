@@ -43,6 +43,9 @@ object SparkEntry {
   // semantics under Java regex and DuckDB's RE2) — expands to util_10..19
   private val RegexQuery = "util_1[0-9]"
   private val FuzzyQuery = "util_7"
+  private val MltSeedDoc = 42L
+  // one live term, one 1-edit misspelling, one hopeless token
+  private val SuggestQuery = "def utyl_7 zzqxnothingxx"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -446,6 +449,27 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchRegex(RegexQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_suggest" -> ((s, dir) => {
+      // did-you-mean: present terms suggest themselves (distance-0 nearest
+      // neighbor), a misspelled term gets the closest dictionary term
+      // (dist asc, df desc, term asc), a hopeless one gets NULL
+      CorpusFixture.ensure(s)
+      import s.implicits._
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .suggest(SuggestQuery).toDF("term", "suggestion")
+    }),
+
+    "q_bm25_mlt" -> ((s, dir) => {
+      // more-like-this: representative terms of seed doc 42 (tf>=2, df>=5,
+      // tf*idf desc / term asc, cap 25) run as an OR query, seed excluded;
+      // the oracle re-derives the selection from raw text in SQL
+      CorpusFixture.ensure(s)
+      val files = s.read.parquet(s"${CorpusFixture.corpusDir}/files.parquet")
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .moreLikeThis(files, MltSeedDoc, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1317,6 +1341,51 @@ object SparkEntry {
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
+
+    // did-you-mean oracle: per query token, the nearest dictionary term by
+    // (levenshtein asc, df desc, term asc) within 2 edits — one rule covers
+    // present terms too (a live term is its own unique distance-0 winner)
+    "q_suggest" -> {
+      val toks = SuggestQuery.split(" ").distinct.sorted
+      s"""WITH $corpusCte,
+         |dict AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |qs AS (SELECT unnest([${toks.map(t => s"'$t'").mkString(", ")}]) AS term)
+         |SELECT q.term,
+         |  (SELECT d.tok FROM dict d WHERE levenshtein(d.tok, q.term) <= 2
+         |   ORDER BY levenshtein(d.tok, q.term) ASC, d.df DESC, d.tok ASC
+         |   LIMIT 1) AS suggestion
+         |FROM qs q ORDER BY q.term""".stripMargin
+    },
+
+    // more-like-this oracle: the representative-term selection re-derived
+    // in SQL (tf >= 2, df >= 5, tf*idf desc / tok asc, LIMIT 25 over the
+    // seed doc's tokens), then OR-mode BM25 over the selection with the
+    // same ascending-term left-fold as the prefix/regex/fuzzy oracles,
+    // seed doc excluded from the final ranking only
+    "q_bm25_mlt" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |alldf AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |sel AS (SELECT s.tok FROM tf s JOIN alldf d ON s.tok = d.tok
+         |  WHERE s.docid = $MltSeedDoc AND s.tf >= 2 AND d.df >= 5
+         |  ORDER BY CAST(s.tf AS DOUBLE) *
+         |    ln(1.0 + ((SELECT n FROM stats) - d.df + 0.5) / (d.df + 0.5)) DESC,
+         |    s.tok ASC
+         |  LIMIT 25),
+         |expansion AS (SELECT tok, df FROM alldf WHERE tok IN (SELECT tok FROM sel)),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |WHERE docid <> $MltSeedDoc
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
 
     // explain oracle: the q_bm25_topk per-term score table, restricted to
     // the top-10 ranking, with tf/df/idf projected alongside the summand

@@ -260,6 +260,40 @@ object OracleBm25 {
       .limit(k)
   }
 
+  /** Top-k for more-like-this: the representative-term selection (tf ≥
+    * minTermFreq, df ≥ minDocFreq, tf·idf desc / term asc, cap
+    * maxQueryTerms) is re-derived INDEPENDENTLY from the raw text, then
+    * scored as a plain OR query with the seed excluded — mirroring
+    * [[graft.query.Searcher.moreLikeThis]]'s contract.
+    */
+  def topKMlt(files: DataFrame, seedDocId: Long, k: Int,
+              maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+              minDocFreq: Int = 5): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val tf = withId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val seedTf = tf.filter($"docId" === seedDocId && $"tf" >= minTermFreq)
+      .select("term", "tf").as[(String, Int)].collect().toMap
+    val numDocs = files.count()
+    val dfByTerm = tf.filter($"term".isin(seedTf.keys.toSeq: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val selected = seedTf.keys.toSeq.sorted
+      .filter(t => dfByTerm.getOrElse(t, 0L) >= minDocFreq)
+      .map(t => (t, seedTf(t).toDouble * idf(numDocs, dfByTerm(t))))
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    if (selected.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    topKOr(files, selected.mkString(" "), k + 1)
+      .filter($"docId" =!= seedDocId)
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
                        k1: Double, b: Double, conjunctive: Boolean,
                        restrictTo: Option[DataFrame] = None): DataFrame = {

@@ -648,6 +648,23 @@ class Searcher(spark: SparkSession, indexDir: String,
       .select("term").as[String].collect().toSeq
   }
 
+  /** Did-you-mean spell suggestion: for each (normalized, distinct, sorted)
+    * query term, the best dictionary replacement — a term present in the
+    * dictionary suggests itself (it is its own distance-0 nearest
+    * neighbor), a dead term suggests the nearest dictionary term within
+    * `maxEdits` classic Levenshtein edits by the fuzzy expansion's rule
+    * (distance asc, df desc, term asc), or None when nothing is that
+    * close. One dict scan per dead term, same plan as [[expandFuzzy]].
+    */
+  def suggest(query: String, maxEdits: Int = 2): Seq[(String, Option[String])] = {
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    val info = lookupTerms(terms)
+    terms.map { t =>
+      if (info(t).df > 0L) (t, Some(t))
+      else (t, expandFuzzy(t, maxEdits, 0, 1).headOption)
+    }
+  }
+
   /** Page `from .. from+k` of the conjunctive ranking (offset pagination,
     * Lucene's `searchAfter` use case): exact deep paging — the per-shard
     * heaps and the WAND/block-max threshold are simply bounded by
@@ -707,6 +724,56 @@ class Searcher(spark: SparkSession, indexDir: String,
       case Some(ts) => matched.join(ts.select("docId"), Seq("docId"), "left_anti")
       case None => matched
     }
+  }
+
+  /** More-like-this (Lucene `MoreLikeThis` analog): find the documents most
+    * similar to a SEED document. Representative terms are selected from the
+    * seed's text — tf ≥ `minTermFreq`, df ≥ `minDocFreq` (both Lucene's
+    * noise gates), ranked by tf·idf (desc, term asc tiebreak — deterministic,
+    * oracle-reproducible), capped at `maxQueryTerms` — then run as a
+    * disjunctive (OR) query on the WAND kernel, with the seed itself
+    * excluded from the hits.
+    *
+    * The seed's content comes from the caller's corpus table (`files`),
+    * fetched by the doc's composite key — the index stores no forward term
+    * vectors (same tradeoff as [[searchSnippets]]); everything per-corpus
+    * (df, idf, scoring) comes from the index. One driver-side tokenize of
+    * ONE document; the query itself is the standard distributed OR kernel.
+    */
+  def moreLikeThis(files: DataFrame, docId: Long, k: Int,
+                   maxQueryTerms: Int = 25, minTermFreq: Int = 2,
+                   minDocFreq: Int = 5): Dataset[Hit] = {
+    val selected = mltTerms(files, docId, maxQueryTerms, minTermFreq, minDocFreq)
+    if (selected.isEmpty) return spark.emptyDataset[Hit]
+    // ask for k+1 so the seed (if ranked) never costs a result slot
+    searchOrTerms(selected.sorted, k + 1)
+      .filter($"docId" =!= docId)
+      .orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** The MLT term selection alone (for oracles and debugging): the
+    * tf·idf-ranked representative terms of the seed doc.
+    */
+  def mltTerms(files: DataFrame, docId: Long, maxQueryTerms: Int = 25,
+               minTermFreq: Int = 2, minDocFreq: Int = 5): Seq[String] = {
+    val keyRows = docs.filter($"docId" === docId)
+      .select("repo", "path", "commit").collect()
+    require(keyRows.nonEmpty, s"docId $docId not found in the index")
+    val (r, p, c) = (keyRows.head.getString(0), keyRows.head.getString(1),
+      keyRows.head.getString(2))
+    val content = files
+      .filter($"repo" === r && $"path" === p && $"commit" === c)
+      .select("content").as[String].collect()
+    require(content.nonEmpty, s"seed doc $docId ($r/$p@$c) not in the corpus")
+    val tfs: Map[String, Int] = Tokenize.tokenize(content.head)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length) }
+    val cand = tfs.filter(_._2 >= minTermFreq).keys.toSeq.sorted
+    if (cand.isEmpty) return Seq.empty
+    val info = lookupTerms(cand)
+    cand.filter(t => info(t).df >= minDocFreq)
+      .map(t => (t, tfs(t).toDouble * idf(meta.numDocs, info(t).df)))
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
   }
 
   /** Total number of documents matching ALL query terms (the hit COUNT a

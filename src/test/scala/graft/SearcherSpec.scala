@@ -280,6 +280,46 @@ class SearcherSpec extends AnyFunSuite {
       Seq("docId", "score", "term", "tf", "df", "idf", "contribution"))
   }
 
+  test("did-you-mean: live term self-suggests, 1-edit typo fixed, hopeless token gets None") {
+    val s = searcher.suggest("def utyl_7 zzqxnothingxx").toMap
+    assert(s("def") == Some("def"))
+    assert(s("utyl_7") == Some("util_7"))
+    assert(s("zzqxnothingxx") == None)
+    // rule consistency: the suggestion is the fuzzy expansion's head
+    assert(s("utyl_7") == searcher.expandFuzzy("utyl_7", 2, 0, 1).headOption)
+  }
+
+  test("more-like-this: gated tf*idf selection, seed excluded, rank-identical to the oracle") {
+    import org.apache.spark.sql.functions.col
+    val seed = 7L
+    val terms = searcher.mltTerms(files, seed)
+    assert(terms.nonEmpty && terms.size <= 25)
+    // selection honors the noise gates: tf >= 2 in the seed doc, df >= 5
+    val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+    val key = docs.filter(col("docId") === seed)
+      .select("repo", "path", "commit").head()
+    val content = files.filter(col("repo") === key.getString(0) &&
+      col("path") === key.getString(1) && col("commit") === key.getString(2))
+      .select("content").as[String].head()
+    val seedTf = graft.index.Tokenize.tokenize(content)
+      .groupBy(identity).map { case (t, xs) => (t, xs.length) }
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+      .filter(col("term").isin(terms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    assert(terms.forall(t => seedTf(t) >= 2 && dict(t) >= 5))
+    // engine == independent brute-force oracle (selection + OR + exclusion)
+    val g = got(searcher.moreLikeThis(files, seed, 10))
+    assert(g.nonEmpty && !g.exists(_._1 == seed))
+    val w = OracleBm25.topKMlt(files, seed, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g.toSeq == w.toSeq)
+    // == the plain OR query over the selection, seed dropped
+    val or = got(searcher.searchOr(terms.mkString(" "), 11))
+      .filterNot(_._1 == seed).take(10)
+    assert(g.toSeq == or.toSeq)
+    intercept[IllegalArgumentException] { searcher.mltTerms(files, 99999999L) }
+  }
+
   test("searchCount equals the brute-force conjunctive match count") {
     val q = "import def util_7"
     val n = searcher.searchCount(q)
