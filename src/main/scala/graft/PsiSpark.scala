@@ -100,4 +100,37 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   def queryBatch(queries: Seq[(String, String, Int)],
                  conjunctive: Boolean = true): DataFrame =
     searcher.searchBatch(queries, conjunctive)
+
+  /** Boolean-tree top-k (`(a b) OR (c -d)`, boosts `a^2`). */
+  def queryBool(q: String, k: Int) = searcher.searchBool(q, k)
+
+  /** Fuzzy top-k (Levenshtein-≤maxEdits dictionary expansion → OR). */
+  def queryFuzzy(term: String, k: Int, maxEdits: Int = 1) =
+    searcher.searchFuzzy(term, k, maxEdits)
+
+  /** Proximity top-k: all terms within a `window`-token span. */
+  def queryNear(q: String, k: Int, window: Int) = searcher.searchNear(q, k, window)
+
+  /** Negated conjunctive top-k (`q` AND NOT any of `notTerms`). */
+  def queryNot(q: String, notTerms: String, k: Int) =
+    searcher.searchNot(q, notTerms, k)
+
+  /** Regex term top-k (anchored full-term dictionary match → OR). */
+  def queryRegex(pattern: String, k: Int) = searcher.searchRegex(pattern, k)
+
+  /** Ranks `from .. from+k-1` of the exact conjunctive ranking. */
+  def queryPage(q: String, k: Int, from: Int) = searcher.searchPage(q, k, from)
+
+  /** Total conjunctive hit count. */
+  def queryCount(q: String): Long = searcher.searchCount(q)
+
+  /** Per-term tf/df/idf/contribution breakdown for the top-k hits. */
+  def queryExplain(q: String, k: Int): DataFrame = searcher.explainHits(q, k)
+
+  /** Documents most similar to a seed doc (tf·idf term selection → OR). */
+  def queryMoreLikeThis(files: DataFrame, docId: Long, k: Int) =
+    searcher.moreLikeThis(files, docId, k)
+
+  /** Did-you-mean: per-token nearest dictionary term. */
+  def querySuggest(q: String, maxEdits: Int = 2) = searcher.suggest(q, maxEdits)
 }

@@ -431,6 +431,23 @@ class SearcherSpec extends AnyFunSuite {
     val handle = PsiSpark.openIndex(spark, indexDir)
     assert(handle.meta.numDocs == TestSpark.corpusCfg.numDocs)
     assert(handle.query("import val", 3).count() == 3)
+    // every query mode is reachable from the facade and agrees with the
+    // Searcher entry it delegates to
+    assert(got(handle.queryBool("(util_7 def) OR util_3", 5)).toSeq ==
+      got(searcher.searchBool("(util_7 def) OR util_3", 5)).toSeq)
+    assert(got(handle.queryFuzzy("util_7", 5)).toSeq ==
+      got(searcher.searchFuzzy("util_7", 5)).toSeq)
+    assert(got(handle.queryPage("import val", 5, 5)).toSeq ==
+      got(searcher.searchPage("import val", 5, 5)).toSeq)
+    assert(handle.queryCount("import val") == searcher.searchCount("import val"))
+    assert(handle.queryExplain("import val", 3).count() ==
+      searcher.explainHits("import val", 3).count())
+    assert(handle.queryMoreLikeThis(files, 7L, 5).count() == 5)
+    assert(handle.querySuggest("utyl_7").toMap.apply("utyl_7") == Some("util_7"))
+    assert(got(handle.queryRegex("util_1[0-9]", 5)).toSeq ==
+      got(searcher.searchRegex("util_1[0-9]", 5)).toSeq)
+    assert(got(handle.queryNot("import val", "util_7", 5)).toSeq ==
+      got(searcher.searchNot("import val", "util_7", 5)).toSeq)
     val r = PsiSpark.psiExecute(
       Seq(("k1", 1), ("k2", 2)).toDF("key", "v"),
       Seq(("k1", 9)).toDF("key", "w"),
