@@ -400,6 +400,51 @@ object Bench {
       val all = levels.flatMap(n => memRaw(n)).sorted
       if (all.isEmpty) Double.NaN else all((all.size - 1) / 2)
     }
+    // CROSS-RUN BUILD-TIME CALIBRATION (r5; closes the r4 verdict's
+    // "confirmed-but-biased" hole): every intra-run guard above compares a
+    // run against the RUN SET'S OWN statistics, so a UNIFORMLY degraded hour
+    // passes its own reference and can confirm a biased min (BENCH_r04:
+    // t8 = 48.96 s "confirmed" at 49.14 s in an hour whose quiet capability
+    // is 36.5 s → eff 0.692 recorded confirmed). The fix is a PERSISTED
+    // clean baseline that survives across bench runs: BENCH_calibration.json
+    // carries the best (lowest) pooled-min build time ever observed per
+    // (method, scaleDocs, level). Build wall time is the ideal calibration
+    // probe — it is the exact quantity being measured, noise only inflates
+    // it (the historical min is a true capability floor), and unlike the
+    // memScore micro-probe it is not bimodal (r4 history: run-median
+    // memScores 68.7-162.6 do NOT separate degraded hours — the 0.881 quiet
+    // run scored 112.1 while the 0.830 run scored 162.6 — but per-level
+    // mins separate cleanly: every quiet confirmed run sits within 1.2x of
+    // the level's best-ever, the biased 0.692/0.704 runs at 1.34x). A run
+    // slower than calibSlack x the persisted floor is dirty: it can neither
+    // CONFIRM a level's min nor enter median/paired — so a uniformly
+    // degraded hour now ends minConfirmed=false + budget extension instead
+    // of a confirmed biased record. The floor only ratchets DOWN (a faster
+    // binary updates it; a slower host never does); a deliberate slowdown
+    // (heavier build features) that trips it permanently is reset with
+    // SPARK_GRAFT_CALIB_RESET=true, and every blocked confirmation is
+    // visible in calibDirtyRunsByCores for the audit trail.
+    val CalibSlack =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_SLACK", "1.25").toDouble
+    val calibPath = java.nio.file.Paths.get(sys.props("user.dir"))
+      .resolve("BENCH_calibration.json")
+    val calibKeyPrefix = s"${if (useSubmit) "submit" else "fork"}:$ScaleDocs:"
+    def loadCalibEntries(): Map[String, Double] =
+      if (!Files.exists(calibPath)) Map.empty
+      else try {
+        val s = new String(Files.readAllBytes(calibPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"([a-z]+:[0-9]+:[0-9]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    val calibBaseline: Map[Int, Double] =
+      if (sys.env.get("SPARK_GRAFT_CALIB_RESET").exists(_.toBoolean)) Map.empty
+      else loadCalibEntries().collect {
+        case (k, v) if k.startsWith(calibKeyPrefix) =>
+          k.stripPrefix(calibKeyPrefix).toInt -> v
+      }
+    def calibDirty(n: Int, t: Double): Boolean =
+      calibBaseline.get(n).exists(b => t > CalibSlack * b)
     def extDirty(n: Int, i: Int): Boolean = {
       val u = usedRaw(n)(i)
       val cpuDirty =
@@ -408,7 +453,7 @@ object Bench {
           u < StarveFrac * (n + 2.0)          // invisible starvation
       val m = memRaw(n)(i)
       val memDirty = !m.isNaN && !medMem.isNaN && m < MemCleanFrac * medMem
-      cpuDirty || memDirty
+      cpuDirty || memDirty || calibDirty(n, raw(n)(i))
     }
     def buildAtMeasured(n: Int): Double = {
       memRaw(n) = memRaw(n) :+ memScore()
@@ -495,6 +540,23 @@ object Bench {
           f"auto-extending once to $budgetSec%.0f s")
       }
     }
+    // ratchet the persisted capability floor DOWN with this run's pooled
+    // mins (entries for other method/scaleDocs keys are preserved verbatim)
+    locally {
+      val others = loadCalibEntries().filterNot(_._1.startsWith(calibKeyPrefix))
+      val mine = levels.map { n =>
+        s"$calibKeyPrefix$n" -> math.min(
+          calibBaseline.getOrElse(n, Double.MaxValue), pooledMin(n))
+      }.toMap
+      val entries = (others ++ mine).toSeq.sortBy(_._1)
+        .map { case (k, v) => f""""$k":$v%.2f""" }.mkString(",")
+      val json = s"""{"updatedUnixMs":${System.currentTimeMillis()},""" +
+        s""""slack":$CalibSlack,"entries":{$entries}}""" + "\n"
+      try Files.write(calibPath,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Exception =>
+        System.err.println(s"[bench] calibration write failed: ${e.getMessage}") }
+    }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted; s((s.size - 1) / 2)
     }
@@ -567,6 +629,13 @@ object Bench {
         s""""usedCoresByRun":$extJson,"memScoreByRun":$memJson,""" +
         f""""extCleanCores":$ExtCleanCores%.1f,"starveFrac":$StarveFrac%.2f,""" +
         f""""memCleanFrac":$MemCleanFrac%.2f,""" +
+        s""""calibBaselineByCores":${
+          levels.map(n => s""""$n":${calibBaseline.get(n)
+            .map(b => f"$b%.2f").getOrElse("null")}""").mkString("{", ",", "}")
+        },"calibSlack":$CalibSlack,"calibDirtyRunsByCores":${
+          levels.map(n => s""""$n":${raw(n).count(t => calibDirty(n, t))}""")
+            .mkString("{", ",", "}")
+        },""" +
         f""""budgetSec":$budgetSec%.0f,"budgetExtended":$budgetExtended,""" +
         f""""scalePhaseSec":$elapsedSec%.0f,""" +
         s""""minConfirmed":$minConfirmed,"minsMonotonic":$minsMonotonic,""" +
@@ -574,7 +643,7 @@ object Bench {
           s""""scaleMethod":"spark-submit local-cluster[W,2,2048]: separate executor JVMs, identical 2-core/2GiB workers (GC/JIT threads capped to container size), W=1/4 = N/4N executors (primary, decide the record + stop rule), W=16 = 16N memory-wall diagnostic (fixed $diagReps reps, outside the stop rule); cores key = 2*W","""
         else
           s""""scaleMethod":"forked local[n] JVMs (fallback: no spark-submit found)",""") +
-        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST violation: visible co-tenant load (usedCoresByRun from /proc/stat: used - (n+2) > extCleanCores), invisible VM-level starvation (used < starveFrac*(n+2)), or PER-CORE THROUGHPUT degradation (memScoreByRun: a fixed single-thread 64MiB memory-stream calibration run before each build scores < memCleanFrac of the run's MEDIAN score — r4 measured the degraded plateau at FULL cpu utilization, so only a work-rate probe exposes it; median not max because the probe itself bursts ~2x on placement luck while builds stay flat, so a max reference poisoned normal-mode runs) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
+        s""""estimator":"headline eff_* from POOLED MIN over all interleaved reps (noise only inflates, so min is the unbiased point estimate); median/paired over noise-rejected clean runs (poisoned = >1.4x level min, within-rep physical-sanity violation on the primary pair, or a HOST violation: visible co-tenant load (usedCoresByRun from /proc/stat: used - (n+2) > extCleanCores), invisible VM-level starvation (used < starveFrac*(n+2)), or PER-CORE THROUGHPUT degradation (memScoreByRun: a fixed single-thread 64MiB memory-stream calibration run before each build scores < memCleanFrac of the run's MEDIAN score — r4 measured the degraded plateau at FULL cpu utilization, so only a work-rate probe exposes it; median not max because the probe itself bursts ~2x on placement luck while builds stay flat, so a max reference poisoned normal-mode runs), or a CROSS-RUN CALIBRATION violation (build time > calibSlack x the best pooled-min ever persisted for this method/scaleDocs/level in BENCH_calibration.json — build wall time is its own calibration probe: noise only inflates it, so the historical min is a true capability floor that a UNIFORMLY degraded hour cannot self-normalize away; r4's biased-but-confirmed 0.692 record ran t8 at 1.34x the floor and now ends minConfirmed=false + budget extension) — steady contention penalizes higher-core runs more and biases efficiency down, so flagged runs may neither confirm a min nor enter median/paired; the 16N diagnostic level gets no within-rep rule — flat-to-slower IS the expected memory-wall shape); reps fill the FULL $budgetSec0 s budget (pooled min only improves; auto-extended once by 50% if still unconfirmed at expiry); minConfirmed requires every PRIMARY level's min reproduced by a second CLEAN run within 15% and mins monotonic"}"""
     persistScaling(scaling, eff28, minConfirmed && minsMonotonic,
       degenerate = primary.size < 2)
 
