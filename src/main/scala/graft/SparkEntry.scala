@@ -606,7 +606,13 @@ object SparkEntry {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      // HASH-CHECKED (r5; was rows-only): with the md5-derived 60-bit token
+      // hash plugged in, the DuckDB oracle recomputes every simhash value —
+      // tokenize, per-bit sign sums, and bit assembly are identical SQL on
+      // both engines (Dedup.md5Hash60). The operator pipeline under test is
+      // byte-for-byte the one the xxhash64 scale default runs.
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text",
+        tokenHash = Dedup.md5Hash60)
         .orderBy("doc")
     }),
 
@@ -635,13 +641,16 @@ object SparkEntry {
 
     "q_embed_neardup_lsh" -> ((s, dir) => {
       // corpus×corpus embedding near-dup, the LSH scale path of
-      // q_embed_neardup (recall vs brute force asserted in OpsSpec);
-      // hyperplane codes are engine-specific → rows-only gate. τ=0.4 with
-      // 4-plane/8-table codes keeps per-pair recall ~0.75 and the found set
-      // non-empty at every sf (τ=0.5 had 0-1 true pairs below sf0.1 and the
-      // r2 gate recorded ZERO rows — vacuous)
+      // q_embed_neardup (recall vs brute force asserted in OpsSpec).
+      // HASH-CHECKED (r5; was rows-only): with Md5Planes the DuckDB oracle
+      // recomputes every hyperplane component, bucket code, and cosine —
+      // the candidate set and verified pairs are value-checked end to end.
+      // τ=0.4 with 4-plane/8-table codes keeps per-pair recall ~0.75 and
+      // the found set non-empty at every sf (τ=0.5 had 0-1 true pairs below
+      // sf0.1 and the r2 gate recorded ZERO rows — vacuous)
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        minCos = 0.4, numPlanes = 4, numTables = 8)
+        minCos = 0.4, numPlanes = 4, numTables = 8,
+        planes = Similarity.Md5Planes)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b")
     }),
@@ -665,10 +674,17 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // scale-path ANN; recall vs brute force asserted in SimilaritySpec
+      // scale-path ANN; recall vs brute force asserted in SimilaritySpec.
+      // HASH-CHECKED (r5; was rows-only): Md5Planes makes the bucket codes,
+      // candidate set, cosines, and ranks all recomputable by the DuckDB
+      // oracle — full value equality on the approximate result itself.
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 3)
-      Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5)
+      // numPlanes = 6 (not the 12 default): 2^6 buckets over 500 fixture
+      // vectors keeps buckets populated, so the gate exercises real top-5
+      // ranking instead of near-singleton candidate sets (1 row at 12)
+      Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, numPlanes = 6,
+        planes = Similarity.Md5Planes)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("query_id", "rank")
@@ -1026,6 +1042,77 @@ object SparkEntry {
        |  FROM docs),
        |tf AS (SELECT docid, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT docid, sum(tf) AS dlen FROM tf GROUP BY 1)""".stripMargin
+
+  /** B^e mod 2^64 for the winnow Karp–Rabin oracle, e = 0..24, as unsigned
+    * decimal literals — computed with the SAME Long wraparound arithmetic
+    * the engine's rolling hash uses (TextAnalysis.winnow), so the DuckDB
+    * HUGEINT polynomial `sum(ord(char) * B^(k-1-j)) mod 2^64` reproduces
+    * every fingerprint value bit-identically (the rolling recurrence IS the
+    * direct polynomial in mod-2^64 arithmetic).
+    */
+  private val winnowPowers: Seq[String] =
+    (1 until 25).scanLeft(1L)((a, _) => a * 1000003L)
+      .map(java.lang.Long.toUnsignedString)
+
+  /** Shared CTE chain recomputing TextAnalysis.winnowFingerprints(k=25,w=16)
+    * in DuckDB: normalized text → per-gram Karp–Rabin hash (HUGEINT mod
+    * 2^64, converted to signed to match the engine's Long comparisons) →
+    * rightmost-window-min selection (struct-min with (h asc, pos desc)
+    * tiebreak via negated pos) → distinct selected positions. The
+    * `ngrams <= w` branch mirrors the engine's single-window special case.
+    */
+  private def winnowCtes: String = {
+    val pwVals = winnowPowers.zipWithIndex
+      .map { case (p, e) => s"($e, CAST('$p' AS HUGEINT))" }.mkString(", ")
+    s"""pw(e, p) AS (VALUES $pwVals),
+       |nm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    sum(CAST(ord(substr(nm.s, i.i + j.j + 1, 1)) AS HUGEINT) * pw.p) % CAST('18446744073709551616' AS HUGEINT) AS hu
+       |  FROM nm,
+       |       LATERAL (SELECT unnest(range(0, length(nm.s) - 24)) AS i) i,
+       |       (SELECT unnest(range(0, 25)) AS j) j
+       |  JOIN pw ON pw.e = 24 - j.j
+       |  WHERE length(nm.s) >= 25
+       |  GROUP BY doc_id, i.i),
+       |win AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+       |         THEN CAST(hu - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+       |         ELSE CAST(hu AS BIGINT) END AS h,
+       |    count(*) OVER (PARTITION BY doc_id) AS ngrams
+       |  FROM grams),
+       |slid AS (
+       |  SELECT doc_id, pos, ngrams,
+       |    min(struct_pack(h := h, np := -pos)) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+       |  FROM win)""".stripMargin
+  }
+
+  /** CTE chain recomputing Similarity.lshCode bucket codes with Md5Planes in
+    * DuckDB: plane components from the md5-60-bit prefix of "plane_dim"
+    * (cast to double — correctly rounded identically on both engines), the
+    * projection as an ORDERED left fold over dims (list_reduce matches the
+    * engine's `aggregate` fold exactly, so the sign decisions agree
+    * bit-for-bit; measured min |proj| on the fixture ≈ 8e-6, nine orders
+    * above fold-order noise), code = OR of sign bits.
+    */
+  private def lshCodesCtes(numTables: Int, numPlanes: Int): String =
+    s"""pl AS (SELECT t.t, p.p, d.d,
+       |  CAST(CAST('0x' || substr(md5((t.t*1024 + p.p) || '_' || d.d), 1, 15) AS BIGINT) AS DOUBLE) / 576460752303423488.0 - 1.0 AS comp
+       |  FROM range(0,$numTables) t(t), range(0,$numPlanes) p(p), range(0,64) d(d)),
+       |prj AS (SELECT e.vec_id, pl.t, pl.p,
+       |  list_reduce(list(CAST(e.embedding[pl.d+1] AS DOUBLE) * pl.comp ORDER BY pl.d), (a,b) -> a + b) AS proj
+       |  FROM embeddings e JOIN pl ON pl.d < len(e.embedding) GROUP BY e.vec_id, pl.t, pl.p),
+       |codes AS (SELECT vec_id, t, CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+       |  FROM prj GROUP BY vec_id, t),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv FROM embeddings)""".stripMargin
+
+  /** Exact cosine between the pre-cast double vectors of the `v` CTE. */
+  private val lshCosSql: String =
+    """(SELECT sum(x * y) FROM (SELECT unnest(a.cv) AS x, unnest(b.cv) AS y)) /
+      | (sqrt((SELECT sum(x * x) FROM (SELECT unnest(a.cv) AS x))) *
+      |  sqrt((SELECT sum(y * y) FROM (SELECT unnest(b.cv) AS y))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
@@ -1836,6 +1923,83 @@ object SparkEntry {
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM aug a JOIN aug b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // HASH-CHECKED r5 (was rows-only): full value recomputation of the
+    // winnowed MOSS fingerprints in DuckDB — Karp–Rabin polynomial mod 2^64
+    // in HUGEINT arithmetic + rightmost window-min selection (winnowCtes)
+    "q_fingerprint_winnow" ->
+      s"""WITH $winnowCtes,
+         |fp1 AS (
+         |  SELECT DISTINCT doc_id, m.h AS fp, -m.np AS pos
+         |  FROM slid WHERE ngrams > 16 AND pos <= ngrams - 16),
+         |fp2 AS (
+         |  SELECT doc_id, min(struct_pack(h := h, np := -pos)).h AS fp,
+         |         -min(struct_pack(h := h, np := -pos)).np AS pos
+         |  FROM win WHERE ngrams <= 16 GROUP BY doc_id)
+         |SELECT doc_id, fp, CAST(pos AS INT) AS pos FROM fp1
+         |UNION ALL SELECT doc_id, fp, CAST(pos AS INT) AS pos FROM fp2
+         |ORDER BY doc_id, pos, fp""".stripMargin,
+
+    // HASH-CHECKED r5 (was rows-only): overlap pairs rebuilt from the same
+    // winnow recomputation — distinct fps per doc, df-cap <= 200, self-join
+    "q_overlap_pairs" ->
+      s"""WITH $winnowCtes,
+         |fps AS (
+         |  SELECT DISTINCT doc_id AS doc, m.h AS fp
+         |  FROM slid WHERE ngrams > 16 AND pos <= ngrams - 16
+         |  UNION
+         |  SELECT doc_id AS doc, min(struct_pack(h := h, np := -pos)).h AS fp
+         |  FROM win WHERE ngrams <= 16 GROUP BY doc_id),
+         |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 200),
+         |fpr AS (SELECT doc, fps.fp FROM fps JOIN rare ON fps.fp = rare.fp)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared_fps
+         |FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc < b.doc
+         |GROUP BY 1, 2 HAVING count(*) >= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // HASH-CHECKED r5 (was rows-only): every simhash value recomputed in
+    // DuckDB from the md5-60-bit token hash (Dedup.md5Hash60) — tokenize,
+    // 64 per-bit sign sums, bit assembly
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id AS doc, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok FROM documents),
+        |h AS (SELECT doc, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+        |bits AS (SELECT doc, b.i AS i, sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(0, 64)) AS i) b GROUP BY doc, b.i)
+        |SELECT doc, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc ORDER BY doc""".stripMargin,
+
+    // HASH-CHECKED r5 (was rows-only): the LSH ANN result itself — bucket
+    // codes from Md5Planes, candidate set, cosines, and ranks all
+    // recomputed in DuckDB (lshCodesCtes); 6 planes x 4 tables keeps
+    // buckets populated so top-5 ranking is actually exercised
+    "q_ann_lsh" ->
+      s"""WITH ${lshCodesCtes(4, 6)},
+         |cand AS (
+         |  SELECT DISTINCT qc.vec_id AS query_id, cc.vec_id AS neighbor_id
+         |  FROM codes qc JOIN codes cc ON qc.t = cc.t AND qc.code = cc.code
+         |  WHERE qc.vec_id < 3 AND qc.vec_id <> cc.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.neighbor_id, $lshCosSql AS cos
+         |  FROM cand JOIN v a ON a.vec_id = cand.query_id JOIN v b ON b.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // HASH-CHECKED r5 (was rows-only): LSH near-dup pair set recomputed in
+    // DuckDB — same Md5Planes codes (8 tables x 4 planes), verified at
+    // cos >= 0.4 (measured fixture margin |cos - 0.4| >= 1.3e-4)
+    "q_embed_neardup_lsh" ->
+      s"""WITH ${lshCodesCtes(8, 4)},
+         |cand AS (
+         |  SELECT DISTINCT ac.vec_id AS id_a, bc.vec_id AS id_b
+         |  FROM codes ac JOIN codes bc ON ac.t = bc.t AND ac.code = bc.code
+         |  WHERE ac.vec_id < bc.vec_id),
+         |scored AS (
+         |  SELECT cand.id_a, cand.id_b, $lshCosSql AS cos
+         |  FROM cand JOIN v a ON a.vec_id = cand.id_a JOIN v b ON b.vec_id = cand.id_b)
+         |SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_stub" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -149,13 +149,30 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc: sign-sum of xxhash64 bits over tokens,
-    * expressed as 64 per-bit aggregations (codegen'd, no UDF).
+  /** Oracle-recomputable 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16 — md5 is the one cryptographic hash Spark and DuckDB
+    * share, so the DuckDB oracle recomputes this value bit-identically as
+    * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)` (15 hex chars = 60 bits
+    * keeps the value inside a signed 64-bit range on both engines). Used by
+    * the correctness gates to make hash-dependent pipelines (simhash) fully
+    * value-checkable; the scale default stays xxhash64 (codegen'd, no
+    * string materialization).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  val md5Hash60: Column => Column = c =>
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 64-bit SimHash per doc: sign-sum of token-hash bits over tokens,
+    * expressed as 64 per-bit aggregations (codegen'd, no UDF). `tokenHash`
+    * defaults to xxhash64 (the scale path); the correctness gate plugs in
+    * [[md5Hash60]] so the DuckDB oracle can recompute every simhash value —
+    * the pipeline under test (tokenize → per-bit sign sums → bit assembly)
+    * is identical either way.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }

@@ -40,22 +40,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed affine-mixed xxhash64 scaled to [-1, 1]. Same value on every
-    * executor — no RNG state to ship.
+  /** Hyperplane-component family: (plane, dim) → a deterministic double.
+    * Same value on every executor — no RNG state to ship.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
+  type PlaneFn = (Int, Column) => Column
+
+  /** Default family: a fixed affine-mixed xxhash64 scaled to [-1, 1] —
+    * codegen'd, the scale path.
+    */
+  val XxPlanes: PlaneFn = (plane, dim) =>
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Oracle-recomputable family (same md5 trick as [[Dedup.md5Hash60]]):
+    * the 60-bit md5 prefix of "plane_dim" scaled to [-1, 1). The DuckDB
+    * oracle recomputes the identical double — CAST of the same 60-bit
+    * integer to double is correctly-rounded on both engines, and the
+    * division/subtraction are literal-identical — so bucket codes, and
+    * therefore the whole LSH candidate set, are value-checkable end to end.
+    */
+  val Md5Planes: PlaneFn = (plane, dim) =>
+    conv(substring(md5(concat_ws("_",
+      lit(plane).cast("string"), dim.cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit((1L << 59).toDouble) - lit(1.0d)
 
   /** Sign-of-projection LSH code over `numPlanes` deterministic hyperplanes:
     * bit i = sign(v · p_i). Vectors in the same bucket are likely
     * cosine-close (random hyperplane LSH, Charikar'02).
     */
-  def lshCode(vec: Column, numPlanes: Int, planeSeed: Int = 0): Column = {
+  def lshCode(vec: Column, numPlanes: Int, planeSeed: Int = 0,
+              planes: PlaneFn = XxPlanes): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(planeSeed + p, i)),
+          (x, i) => x.cast("double") * planes(planeSeed + p, i)),
         lit(0.0d), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -68,7 +85,7 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 12,
-              numTables: Int = 4): DataFrame = {
+              numTables: Int = 4, planes: PlaneFn = XxPlanes): DataFrame = {
     // each table uses a distinct hyperplane family (plane count offset by
     // table index → disjoint (plane, dim) hash inputs)
     val cQ = queries.select(col(idCol).as("query_id"),
@@ -78,7 +95,7 @@ object Similarity {
     def codes(df: DataFrame, vcol: String): Column =
       array((0 until numTables).map { t =>
         struct(lit(t).as("table"),
-          lshCode(col(vcol), numPlanes, planeSeed = t * 1024).as("code"))
+          lshCode(col(vcol), numPlanes, planeSeed = t * 1024, planes).as("code"))
       }: _*)
     val qB = cQ.select(col("query_id"), col("qv"), explode(codes(cQ, "qv")).as("tc"))
       .select(col("query_id"), col("qv"), col("tc.table"), col("tc.code"))
@@ -206,12 +223,12 @@ object Similarity {
 
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       minCos: Double, numPlanes: Int = 12,
-                      numTables: Int = 4): DataFrame = {
+                      numTables: Int = 4, planes: PlaneFn = XxPlanes): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val codes = array((0 until numTables).map { t =>
       struct(lit(t).as("table"),
-        lshCode(col("v"), numPlanes, planeSeed = t * 1024).as("code"))
+        lshCode(col("v"), numPlanes, planeSeed = t * 1024, planes).as("code"))
     }: _*)
     val b = c.select(col("id"), col("v"), explode(codes).as("tc"))
       .select(col("id"), col("v"), col("tc.table"), col("tc.code"))
