@@ -758,7 +758,7 @@ object Bench {
     }
 
     // tombstoned query: 1% of docs deleted, AND query through the per-shard
-    // exclusion-list path (pruning off on affected shards by design)
+    // exclusion-list path (block alignment rebuilt, pruning stays on — r5)
     {
       import org.apache.spark.sql.functions.col
       val tombs = s"$work/tombs.parquet"

@@ -213,9 +213,9 @@ object Codec {
   def makeSeg(term: String, shard: Int, da: Array[Long], fa: Array[Int],
               la: Array[Int], k1: Double, b: Double,
               avgdl: Double): graft.PostingSeg = {
-    val (firsts, maxes) = blockMeta(da, fa, la, k1, b, avgdl)
+    val (firsts, maxes, maxTfs, minDls) = blockMeta(da, fa, la, k1, b, avgdl)
     graft.PostingSeg(term, shard, da.length, sumOf(fa),
-      encodeDeltas(da), encodeInts(fa), firsts, maxes)
+      encodeDeltas(da), encodeInts(fa), firsts, maxes, maxTfs, minDls)
   }
 
   /** Positional variant: `posBytes` is the already-encoded concatenation of
@@ -224,9 +224,9 @@ object Codec {
   def makeSegP(term: String, shard: Int, da: Array[Long], fa: Array[Int],
                la: Array[Int], k1: Double, b: Double, avgdl: Double,
                posBytes: Array[Byte]): graft.PostingSegP = {
-    val (firsts, maxes) = blockMeta(da, fa, la, k1, b, avgdl)
+    val (firsts, maxes, maxTfs, minDls) = blockMeta(da, fa, la, k1, b, avgdl)
     graft.PostingSegP(term, shard, da.length, sumOf(fa),
-      encodeDeltas(da), encodeInts(fa), firsts, maxes, posBytes)
+      encodeDeltas(da), encodeInts(fa), firsts, maxes, maxTfs, minDls, posBytes)
   }
 
   @inline private def sumOf(fa: Array[Int]): Long = {
@@ -239,32 +239,68 @@ object Codec {
   /** Postings per block for block-max metadata. */
   val BlockSize: Int = 128
 
-  /** Per-block first docId (for galloping skip) and per-block max of the
-    * BM25 tf-normalization `tf / (tf + k1*(1 - b + b*dlen/avgdl))`, rounded
-    * UP to Float so the bound stays admissible.
+  /** Per-block first docId (for galloping skip), per-block max of the
+    * BM25 tf-normalization `tf / (tf + k1*(1 - b + b*dlen/avgdl))` (rounded
+    * UP to Float so the bound stays admissible), and the AVGDL-FREE
+    * statistics (max tf, min dlen) that let [[recomputeBlockUb]] derive an
+    * admissible bound under any other corpus avgdl.
     */
   def blockMeta(docIds: Array[Long], tfs: Array[Int], dlens: Array[Int],
-                k1: Double, b: Double, avgdl: Double): (Array[Long], Array[Float]) = {
+                k1: Double, b: Double, avgdl: Double)
+      : (Array[Long], Array[Float], Array[Int], Array[Int]) = {
     val nBlocks = (docIds.length + BlockSize - 1) / BlockSize
     val firsts = new Array[Long](nBlocks)
     val maxes = new Array[Float](nBlocks)
+    val maxTfs = new Array[Int](nBlocks)
+    val minDls = new Array[Int](nBlocks)
     var blk = 0
     while (blk < nBlocks) {
       val start = blk * BlockSize
       val end = math.min(start + BlockSize, docIds.length)
       firsts(blk) = docIds(start)
       var m = 0.0
+      var mTf = 0
+      var mDl = Int.MaxValue
       var i = start
       while (i < end) {
         val tf = tfs(i).toDouble
         val norm = tf / (tf + k1 * (1.0 - b + b * dlens(i) / avgdl))
         if (norm > m) m = norm
+        if (tfs(i) > mTf) mTf = tfs(i)
+        if (dlens(i) < mDl) mDl = dlens(i)
         i += 1
       }
       val f = m.toFloat
       maxes(blk) = if (f.toDouble < m) Math.nextUp(f) else f
+      maxTfs(blk) = mTf
+      minDls(blk) = mDl
       blk += 1
     }
-    (firsts, maxes)
+    (firsts, maxes, maxTfs, minDls)
+  }
+
+  /** ADMISSIBLE per-block tf-normalization bounds under an arbitrary corpus
+    * `avgdl` (used when streaming deltas shift the combined avgdl away from
+    * the one the stored `blockMaxTfn` was computed with): the normalization
+    * is increasing in tf and decreasing in dlen, so evaluating it at
+    * (blockMaxTf, blockMinDlen) dominates every posting of the block; the
+    * double result rounds UP to Float — a 2^-24 relative slack that dwarfs
+    * any double-composition rounding, the same discipline as [[blockMeta]].
+    */
+  def recomputeBlockUb(maxTfs: Array[Int], minDls: Array[Int],
+                       k1: Double, b: Double, avgdl: Double): Array[Float] = {
+    val out = new Array[Float](maxTfs.length)
+    var i = 0
+    while (i < maxTfs.length) {
+      val tf = maxTfs(i).toDouble
+      if (tf == 0.0) out(i) = 0.0f // synthetic zero-score segments
+      else {
+        val ub = tf / (tf + k1 * (1.0 - b + b * minDls(i) / avgdl))
+        val f = ub.toFloat
+        out(i) = if (f.toDouble < ub) Math.nextUp(f) else f
+      }
+      i += 1
+    }
+    out
   }
 }

@@ -37,9 +37,13 @@ case class IndexConfig(docsPerShard: Int = 1 << 12,
   // partitionedResume is NOT part of the fingerprint: it changes only the
   // recovery granularity of the postings stage (per reduce partition vs per
   // artifact), never the published index content, so artifacts from the two
-  // modes compose across resume attempts
+  // modes compose across resume attempts.
+  // v3 (r5): postings schema gained the avgdl-free per-block stats
+  // (blockMaxTf/blockMinDlen) — the version bump makes every pre-r5 index
+  // fail the freshness/fingerprint checks loudly instead of crashing the
+  // reader on missing columns
   def fingerprint: String =
-    CorpusFp.sha(s"v2|$docsPerShard|$k1|$b|$verifySha|$positions")
+    CorpusFp.sha(s"v3|$docsPerShard|$k1|$b|$verifySha|$positions")
 }
 
 private object CorpusFp {
@@ -429,7 +433,7 @@ object IndexBuilder {
             PostingSeg(graft.query.Searcher.DeletedTerm, shard, ids.length, 0L,
               Codec.encodeDeltas(ids),
               Codec.encodeInts(Array.fill(ids.length)(1)),
-              Array(ids.head), Array(0.0f))
+              Array(ids.head), Array(0.0f), Array(0), Array(0))
           }
     }
 
@@ -482,7 +486,7 @@ object IndexBuilder {
               .partition(_.term == graft.query.Searcher.DeletedTerm)
             val deleted = graft.query.Searcher.decodeDeleted(del.map(s =>
               PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
-                s.blockFirst, s.blockMaxTfn)))
+                s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
             rest.groupBy(_.term).iterator.flatMap { case (term, ss) =>
               val parts = ss.map(s => (Codec.decodeDeltas(s.docBytes, s.n),
                 Codec.decodeInts(s.tfBytes, s.n), s.posBytes)).sortBy(_._1.head)

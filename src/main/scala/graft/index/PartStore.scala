@@ -32,7 +32,9 @@ import graft.{PostingSeg, PostingSegP}
   */
 object PartStore {
 
-  private val Magic = 0x50535031 // "PSP1"
+  private val Magic = 0x50535032 // "PSP2" (r5: + per-block maxTf/minDlen —
+  // parts written by a PSP1 binary fail the magic check loudly instead of
+  // silently composing segments without the avgdl-free pruning stats)
 
   def partPath(partsDir: String, pid: Int): String = f"$partsDir/part-$pid%05d.bin"
 
@@ -102,10 +104,10 @@ object PartStore {
       segs.foreach {
         case s: PostingSeg =>
           writeSeg(out, s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
-            s.blockFirst, s.blockMaxTfn, null)
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen, null)
         case s: PostingSegP =>
           writeSeg(out, s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
-            s.blockFirst, s.blockMaxTfn, s.posBytes)
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen, s.posBytes)
         case other => sys.error(s"unexpected segment type: ${other.getClass}")
       }
     } finally out.close()
@@ -119,6 +121,7 @@ object PartStore {
   private def writeSeg(out: DataOutputStream, term: String, shard: Int, n: Int,
                        sumTf: Long, docBytes: Array[Byte], tfBytes: Array[Byte],
                        blockFirst: Array[Long], blockMaxTfn: Array[Float],
+                       blockMaxTf: Array[Int], blockMinDlen: Array[Int],
                        posBytes: Array[Byte]): Unit = {
     val tb = term.getBytes(StandardCharsets.UTF_8)
     out.writeInt(tb.length); out.write(tb)
@@ -127,6 +130,8 @@ object PartStore {
     out.writeInt(tfBytes.length); out.write(tfBytes)
     out.writeInt(blockFirst.length); blockFirst.foreach(out.writeLong)
     out.writeInt(blockMaxTfn.length); blockMaxTfn.foreach(out.writeFloat)
+    out.writeInt(blockMaxTf.length); blockMaxTf.foreach(out.writeInt)
+    out.writeInt(blockMinDlen.length); blockMinDlen.foreach(out.writeInt)
     if (posBytes != null) { out.writeInt(posBytes.length); out.write(posBytes) }
     else out.writeInt(-1)
   }
@@ -134,32 +139,33 @@ object PartStore {
   /** Stream one committed part file back as segments (NON-positional). */
   def readPart(path: String): Iterator[PostingSeg] =
     readRaw(path).map { r =>
-      require(r._9 == null, s"$path is positional, expected non-positional")
-      PostingSeg(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8)
+      require(r._11 == null, s"$path is positional, expected non-positional")
+      PostingSeg(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)
     }
 
   /** Stream one committed part file back as POSITIONAL segments. */
   def readPartP(path: String): Iterator[PostingSegP] =
     readRaw(path).map { r =>
-      require(r._9 != null, s"$path is non-positional, expected positional")
-      PostingSegP(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)
+      require(r._11 != null, s"$path is non-positional, expected positional")
+      PostingSegP(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11)
     }
 
   private def readRaw(path: String): Iterator[(String, Int, Int, Long,
-      Array[Byte], Array[Byte], Array[Long], Array[Float], Array[Byte])] = {
+      Array[Byte], Array[Byte], Array[Long], Array[Float], Array[Int],
+      Array[Int], Array[Byte])] = {
     val conf = new Configuration()
     val p = new Path(path)
     val in = new DataInputStream(new BufferedInputStream(fs(p, conf).open(p), 1 << 16))
     require(in.readInt() == Magic, s"$path: bad part-file magic")
     in.readBoolean() // positional flag; per-seg posBytes length disambiguates
     new Iterator[(String, Int, Int, Long, Array[Byte], Array[Byte],
-        Array[Long], Array[Float], Array[Byte])] {
+        Array[Long], Array[Float], Array[Int], Array[Int], Array[Byte])] {
       private var nextTermLen: Int = advance()
       private def advance(): Int =
         try in.readInt() catch { case _: EOFException => in.close(); -2 }
       def hasNext: Boolean = nextTermLen >= 0
       def next(): (String, Int, Int, Long, Array[Byte], Array[Byte],
-          Array[Long], Array[Float], Array[Byte]) = {
+          Array[Long], Array[Float], Array[Int], Array[Int], Array[Byte]) = {
         val tb = new Array[Byte](nextTermLen); in.readFully(tb)
         val term = new String(tb, StandardCharsets.UTF_8)
         val shard = in.readInt(); val n = in.readInt(); val sumTf = in.readLong()
@@ -167,12 +173,14 @@ object PartStore {
         val fb = new Array[Byte](in.readInt()); in.readFully(fb)
         val bf = Array.fill(in.readInt())(in.readLong())
         val bm = Array.fill(in.readInt())(in.readFloat())
+        val btf = Array.fill(in.readInt())(in.readInt())
+        val bdl = Array.fill(in.readInt())(in.readInt())
         val posLen = in.readInt()
         val pb = if (posLen < 0) null else {
           val a = new Array[Byte](posLen); in.readFully(a); a
         }
         nextTermLen = advance()
-        (term, shard, n, sumTf, db, fb, bf, bm, pb)
+        (term, shard, n, sumTf, db, fb, bf, bm, btf, bdl, pb)
       }
     }
   }

@@ -26,10 +26,20 @@ case class TfRow(term: String, docId: Long, tf: Int)
   * hot terms across partitions, SURVEY.md §4 skew row). docIds are delta-gap +
   * varbyte (`docBytes`), tfs varbyte (`tfBytes`); `blockFirst`/`blockMaxTfn`
   * are per-128-posting block skip metadata (block-max).
+  *
+  * `blockMaxTf`/`blockMinDlen` are the AVGDL-FREE per-block statistics (max
+  * term frequency, min document length): the BM25 tf-normalization is
+  * increasing in tf and decreasing in dlen, so
+  * `maxTf / (maxTf + k1·(1−b+b·minDlen/avgdl'))` is an admissible block
+  * bound under ANY corpus avgdl' — this is what keeps block-max pruning
+  * alive when streaming deltas shift the combined avgdl away from the one
+  * `blockMaxTfn` was computed with (r4 verdict item: pruning was previously
+  * hard-disabled whenever deltas existed).
   */
 case class PostingSeg(term: String, shard: Int, n: Int, sumTf: Long,
                       docBytes: Array[Byte], tfBytes: Array[Byte],
-                      blockFirst: Array[Long], blockMaxTfn: Array[Float])
+                      blockFirst: Array[Long], blockMaxTfn: Array[Float],
+                      blockMaxTf: Array[Int], blockMinDlen: Array[Int])
 
 /** Positional posting segment (IndexConfig(positions = true) builds):
   * `posBytes` is the concatenation, in docId order, of each document's
@@ -43,6 +53,7 @@ case class PostingSeg(term: String, shard: Int, n: Int, sumTf: Long,
 case class PostingSegP(term: String, shard: Int, n: Int, sumTf: Long,
                        docBytes: Array[Byte], tfBytes: Array[Byte],
                        blockFirst: Array[Long], blockMaxTfn: Array[Float],
+                       blockMaxTf: Array[Int], blockMinDlen: Array[Int],
                        posBytes: Array[Byte])
 
 /** Term dictionary row (df = doc frequency, cf = collection frequency) — the

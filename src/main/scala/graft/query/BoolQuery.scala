@@ -244,6 +244,53 @@ object BoolQuery {
     case _ => Seq.empty
   }
 
+  /** Leaf terms with at least one POSITIVE-polarity occurrence (an even
+    * number of `Not` ancestors). Every matching document contains at least
+    * one of these: `matches` is antitone in the presence of odd-polarity-
+    * only terms, so a document whose present tree-terms are all
+    * negative-only matches no better than the empty document — and
+    * match-all trees are rejected up front. Candidate generation therefore
+    * only needs the positive lists (negative lists are consulted for the
+    * veto test at evaluation time).
+    */
+  def positiveTerms(q: BoolQ): Set[String] = {
+    def walk(q: BoolQ, neg: Boolean): Iterator[String] = q match {
+      case Term(t) => if (neg) Iterator.empty else Iterator.single(t)
+      case And(xs) => xs.iterator.flatMap(walk(_, neg))
+      case Or(xs) => xs.iterator.flatMap(walk(_, neg))
+      case Not(x) => walk(x, !neg)
+      case Boost(x, _) => walk(x, neg)
+    }
+    walk(q, neg = false).toSet
+  }
+
+  /** ADMISSIBLE upper bound of [[evalScore]] given a per-leaf score ceiling:
+    * AND and OR both SUM their children's bounds (this engine's OR sums all
+    * matched children — Lucene disjunction-sum — so max would be wrong),
+    * NOT bounds at 0 (negative clauses never score), Boost multiplies.
+    * Sound for every presence configuration consistent with `leafUb`
+    * (leafUb(t) must be ≥ the BM25 contribution of t wherever t is present,
+    * and ≥ 0 — block maxima satisfy both), by induction: a matched Term
+    * scores ≤ leafUb; a matched And sums matched children, each ≤ its
+    * bound; a matched Or sums a SUBSET of children, each ≤ its bound and
+    * every bound ≥ 0; an unmatched child contributes nothing. Used for the
+    * WAND-style pivot, the per-candidate block-max recheck, and the
+    * shard-constant early exit in [[Searcher.scoreShardBool]].
+    */
+  def upperBound(q: BoolQ, leafUb: String => Double): Double = q match {
+    case Term(t) => leafUb(t)
+    case And(xs) =>
+      var s = 0.0; var i = 0
+      while (i < xs.length) { s += upperBound(xs(i), leafUb); i += 1 }
+      s
+    case Or(xs) =>
+      var s = 0.0; var i = 0
+      while (i < xs.length) { s += upperBound(xs(i), leafUb); i += 1 }
+      s
+    case Not(_) => 0.0
+    case Boost(x, f) => upperBound(x, leafUb) * f
+  }
+
   /** Evaluate match + score for one document. `score(t)` must only be
     * called for present terms. Returns NaN when unmatched (callers test
     * with [[matches]] first or use [[evalScore]]'s contract: a matched

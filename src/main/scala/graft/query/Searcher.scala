@@ -49,10 +49,19 @@ class Searcher(spark: SparkSession, indexDir: String,
       numTerms = -1, numSegments = metas.map(_.numSegments).sum)
   }
 
-  // per-segment block-max bounds were computed against each part's own
-  // avgdl; they are only admissible for the combined corpus when there are
-  // no deltas (avgdl unchanged)
-  private val usePruning = deltaDirs.isEmpty
+  // r5: block-max pruning is ALWAYS on (r4 hard-disabled it whenever deltas
+  // or tombstones existed). With streaming deltas the stored blockMaxTfn
+  // (computed against each part's own avgdl) is stale, so decodeTermList
+  // re-derives admissible bounds from the avgdl-free per-block stats
+  // (Codec.recomputeBlockUb over blockMaxTf/blockMinDlen) under the
+  // COMBINED corpus avgdl, and re-aligns bounds across concatenated
+  // segments; tombstoned / NOT-filtered shards rebuild block alignment
+  // inside withoutDeleted. `forcePruningOff` is the test hook for the
+  // pruning-on/off bit-identity specs.
+  private[graft] var forcePruningOff: Boolean = false
+  private def usePruning: Boolean = !forcePruningOff
+  // stored blockMaxTfn is reusable as-is only when no deltas shift avgdl
+  private val needReBound = deltaDirs.nonEmpty
 
   // base and deltas must agree on positional-ness: a mixed-schema union read
   // would either deserialize null posBytes (executor NPE in decodePositions)
@@ -74,9 +83,10 @@ class Searcher(spark: SparkSession, indexDir: String,
     * excluded from every query path, but df/avgdl remain those of the full
     * corpus until a compaction physically removes the docs and recomputes
     * statistics (exactly Lucene's docFreq-includes-deletes behavior).
-    * Shards with deletions score without block-max pruning (the stored
-    * bounds stay admissible but lose alignment with the filtered lists —
-    * same discipline as delta indexes); compaction restores pruning.
+    * Shards with deletions keep block-max pruning: `withoutDeleted` rebuilds
+    * the block alignment of the filtered lists from the original block
+    * bounds (admissible — deletion only removes postings); compaction
+    * restores the tight build-time bounds.
     */
   private lazy val tombstoneDf = tombstones.map(p => spark.read.parquet(p))
 
@@ -97,7 +107,8 @@ class Searcher(spark: SparkSession, indexDir: String,
             val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
             PostingSeg(Searcher.DeletedTerm, shard, ids.length, 0L,
               Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
-              firsts, new Array[Float](nBlocks))
+              firsts, new Array[Float](nBlocks),
+              new Array[Int](nBlocks), new Array[Int](nBlocks))
           }
     }
 
@@ -190,6 +201,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val termsSorted = terms
     val pruning = usePruning
+    val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -201,7 +213,7 @@ class Searcher(spark: SparkSession, indexDir: String,
           accT.add(1)
           val lens = Searcher.mergeLens(lenIt)
           Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
-            k1, b, avgdl, k, accS, accP, pruning && deleted.isEmpty, deleted)
+            k1, b, avgdl, k, accS, accP, pruning, deleted, reB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -215,9 +227,10 @@ class Searcher(spark: SparkSession, indexDir: String,
     * the lists — so the scoring kernel is unchanged: survivors' scores are
     * bit-identical to the plain conjunctive query (negative terms carry no
     * score mass; positive statistics stay full-corpus — Lucene's NOT
-    * semantics). Block-max pruning switches off only on shards that hold a
-    * negative posting (same admissibility discipline as deletions); a term
-    * that is both positive and negative is unsatisfiable → empty result.
+    * semantics). Block-max pruning stays ON in shards holding negative
+    * postings (withoutDeleted rebuilds the filtered lists' block alignment
+    * — same admissibility discipline as deletions); a term that is both
+    * positive and negative is unsatisfiable → empty result.
     * A 100 TB note: a hot negative term costs its list decode in candidate
     * shards — unavoidable under exact NOT semantics (Lucene pays the same).
     */
@@ -249,6 +262,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val termsSorted = terms
     val pruning = usePruning
+    val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -259,8 +273,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShard(segsByTerm, Searcher.mergeLens(lenIt), termsSorted,
-            idfByTerm, k1, b, avgdl, k, accS, accP,
-            pruning && deleted.isEmpty, deleted)
+            idfByTerm, k1, b, avgdl, k, accS, accP, pruning, deleted, reB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -303,7 +316,8 @@ class Searcher(spark: SparkSession, indexDir: String,
         val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
         PostingSeg(Searcher.FilterTerm, shard, ids.length, ids.length,
           Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
-          firsts, new Array[Float](nBlocks))
+          firsts, new Array[Float](nBlocks),
+          new Array[Int](nBlocks), new Array[Int](nBlocks))
       }
 
     val segsC = postings.filter($"term".isin(terms: _*) &&
@@ -317,6 +331,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     // ascending-term accumulation order (0.0 is added first — the identity)
     val termsAll: Seq[String] = (Searcher.FilterTerm +: terms.toSeq)
     val pruning = usePruning
+    val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -329,8 +344,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShard(segsByTerm, Searcher.mergeLens(lenIt), termsAll,
-            idfByTerm, k1, b, avgdl, k, accS, accP,
-            pruning && deleted.isEmpty, deleted)
+            idfByTerm, k1, b, avgdl, k, accS, accP, pruning, deleted, reB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -371,7 +385,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
           PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
-            s.blockFirst, s.blockMaxTfn)))
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
         val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
         else {
@@ -422,7 +436,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
           PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
-            s.blockFirst, s.blockMaxTfn)))
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
         val segsByTerm = rest.groupBy(_.term)
         if (segsByTerm.size < termsB.length || !lenIt.hasNext) Iterator.empty
         else {
@@ -485,11 +499,13 @@ class Searcher(spark: SparkSession, indexDir: String,
     * Scale shape: shard pruning is the tree's own algebra over the cached
     * per-term shard sets ([[BoolQuery.satisfiable]] — exact for pure-AND,
     * sound for every tree); when the root is conjunctive, the rarest
-    * REQUIRED term's posting list leads the per-shard traversal and every
-    * other list is galloped, so selective ANDs pay the conjunctive price,
-    * not the union walk. Block-max pruning inside arbitrary trees needs
-    * admissible per-subtree bounds and is intentionally not attempted —
-    * results stay exact by construction.
+    * REQUIRED term's posting list leads the per-shard traversal, otherwise
+    * the walk WAND-pivots over the positive lists. Block-max pruning runs
+    * INSIDE the tree via admissible per-subtree bounds
+    * ([[BoolQuery.upperBound]]: AND/OR sum, NOT 0, Boost multiplies) — a
+    * candidate is skipped only when its bound cannot beat the current k-th
+    * score, so results stay exact by construction (see
+    * [[Searcher.scoreShardBool]] for the three pruning tiers).
     */
   def searchBool(query: String, k: Int): Dataset[Hit] =
     searchBoolTree(BoolQuery.parse(query), k)
@@ -525,7 +541,9 @@ class Searcher(spark: SparkSession, indexDir: String,
     val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val liveSorted = live
-    val (accS, accT) = (candidatesScored, shardsTouched)
+    val pruning = usePruning
+    val reB = needReBound
+    val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
@@ -535,7 +553,8 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShardBool(segsByTerm, Searcher.mergeLens(lenIt), tree,
-            liveSorted, required, idfByTerm, k1, b, avgdl, k, accS, deleted)
+            liveSorted, required, idfByTerm, k1, b, avgdl, k, accS, accP,
+            pruning, deleted, reB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -869,6 +888,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val pruning = usePruning
+    val reB = needReBound
     val hits = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
@@ -878,8 +898,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShardOr(segsByTerm, Searcher.mergeLens(lenIt), present,
-            idfByTerm, k1, b, avgdl, k, accS, accP,
-            pruning && deleted.isEmpty, deleted)
+            idfByTerm, k1, b, avgdl, k, accS, accP, pruning, deleted, reB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -932,6 +951,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val conj = conjunctive
     val pruningB = usePruning
+    val reB = needReBound
     val perShard = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
@@ -949,11 +969,11 @@ class Searcher(spark: SparkSession, indexDir: String,
                 if (conj)
                   Searcher.scoreShard(segsByTerm.filter(e => ts.contains(e._1)),
                     lens, ts, idfByTerm, k1, b, avgdl, k, null, null,
-                    conj && pruningB && deleted.isEmpty, deleted)
+                    pruningB, deleted, reB)
                 else
                   Searcher.scoreShardOr(segsByTerm.filter(e => ts.contains(e._1)),
                     lens, ts, idfByTerm, k1, b, avgdl, k, null, null,
-                    pruningB && deleted.isEmpty, deleted)
+                    pruningB, deleted, reB)
               hits.map(h => (name, h.docId, h.score))
             }
           }
@@ -1031,26 +1051,36 @@ object Searcher {
   val DeletedTerm: String = "!deleted"
 
   /** Remove tombstoned docIds from a decoded term list (sorted two-cursor
-    * filter). The stored block-max metadata is left as-is and MUST NOT be
-    * used afterwards: deletions only lower true block maxima (the bounds
-    * stay admissible) but the 128-posting block alignment no longer matches
-    * the filtered arrays — callers disable pruning for shards with
-    * deletions (same discipline as delta indexes; restored by compaction).
+    * filter), REBUILDING the block-max alignment for the filtered arrays:
+    * each surviving posting's new block takes the max over the ORIGINAL
+    * block bounds of its members — admissible (deletion only removes
+    * postings, so every survivor keeps a bound ≥ its own original block's),
+    * which keeps block-max pruning ON for tombstoned and NOT-filtered
+    * shards (r4 hard-disabled it there; compaction still restores the
+    * tight build-time bounds).
     */
   private[graft] def withoutDeleted(l: TermList, deleted: Array[Long]): TermList = {
     if (deleted.isEmpty) return l
     val nd = new Array[Long](l.docs.length)
     val nt = new Array[Int](l.docs.length)
+    val nbm = new Array[Float](l.blockMax.length)
     var i = 0; var j = 0; var o = 0
     while (i < l.docs.length) {
       val d = l.docs(i)
       while (j < deleted.length && deleted(j) < d) j += 1
-      if (j >= deleted.length || deleted(j) != d) { nd(o) = d; nt(o) = l.tfs(i); o += 1 }
+      if (j >= deleted.length || deleted(j) != d) {
+        nd(o) = d; nt(o) = l.tfs(i)
+        val gb = o >>> 7
+        if (l.blockMax(i >>> 7) > nbm(gb)) nbm(gb) = l.blockMax(i >>> 7)
+        o += 1
+      }
       i += 1
     }
     if (o == l.docs.length) l
     else TermList(l.term, java.util.Arrays.copyOf(nd, o),
-      java.util.Arrays.copyOf(nt, o), l.blockMax, l.idfK1p1)
+      java.util.Arrays.copyOf(nt, o),
+      java.util.Arrays.copyOf(nbm, (o + Codec.BlockSize - 1) / Codec.BlockSize),
+      l.idfK1p1)
   }
 
   /** Positional twin of [[withoutDeleted]]: drops deleted docs and rebuilds
@@ -1136,16 +1166,31 @@ object Searcher {
     * segment; with streaming deltas the same (term, shard) may have several
     * segments covering DISJOINT ascending docId ranges (base ∪ batches) —
     * concatenate in first-docId order.
+    *
+    * Block bounds: with `reBound` (deltas present — the combined avgdl is
+    * not the one stored blockMaxTfn was computed with) each segment's
+    * bounds are re-derived from its avgdl-free (maxTf, minDlen) block stats
+    * under the query-time (k1, b, avgdl) — [[Codec.recomputeBlockUb]].
+    * Multi-segment concatenation additionally RE-ALIGNS bounds: the
+    * concatenated `pos >>> 7` blocks straddle segment boundaries whenever a
+    * segment's length is not a multiple of 128, so each concatenated block
+    * takes the max over the original blocks that contribute to it
+    * (admissible: every posting keeps a bound ≥ its own original block's).
     */
   private[graft] def decodeTermList(term: String, ss: Array[PostingSeg],
-                                    idfK1p1: Double): TermList = {
+                                    idfK1p1: Double, reBound: Boolean = false,
+                                    k1: Double = 0.0, b: Double = 0.0,
+                                    avgdl: Double = 1.0): TermList = {
+    def ubOf(s: PostingSeg): Array[Float] =
+      if (!reBound) s.blockMaxTfn
+      else Codec.recomputeBlockUb(s.blockMaxTf, s.blockMinDlen, k1, b, avgdl)
     if (ss.length == 1) {
       val s = ss.head
       TermList(term, Codec.decodeDeltas(s.docBytes, s.n),
-        Codec.decodeInts(s.tfBytes, s.n), s.blockMaxTfn, idfK1p1)
+        Codec.decodeInts(s.tfBytes, s.n), ubOf(s), idfK1p1)
     } else {
       val parts = ss.map(s => (Codec.decodeDeltas(s.docBytes, s.n),
-        Codec.decodeInts(s.tfBytes, s.n), s.blockMaxTfn)).sortBy(_._1.head)
+        Codec.decodeInts(s.tfBytes, s.n), ubOf(s))).sortBy(_._1.head)
       // ranges must be disjoint and ascending
       var i = 1
       while (i < parts.length) {
@@ -1153,8 +1198,21 @@ object Searcher {
           s"overlapping posting segments for term '$term'")
         i += 1
       }
-      TermList(term, parts.flatMap(_._1), parts.flatMap(_._2),
-        parts.flatMap(_._3), idfK1p1)
+      val docs = parts.flatMap(_._1)
+      val tfs = parts.flatMap(_._2)
+      val bounds =
+        new Array[Float]((docs.length + Codec.BlockSize - 1) / Codec.BlockSize)
+      var off = 0
+      parts.foreach { case (d, _, bm) =>
+        var j = 0
+        while (j < d.length) {
+          val gb = (off + j) >>> 7
+          if (bm(j >>> 7) > bounds(gb)) bounds(gb) = bm(j >>> 7)
+          j += 1
+        }
+        off += d.length
+      }
+      TermList(term, docs, tfs, bounds, idfK1p1)
     }
   }
 
@@ -1391,10 +1449,12 @@ object Searcher {
                  k1: Double, b: Double, avgdl: Double, k: Int,
                  accScored: LongAccumulator, accPruned: LongAccumulator,
                  pruning: Boolean = true,
-                 deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                 deleted: Array[Long] = Array.emptyLongArray,
+                 reBound: Boolean = false): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     val lists: Array[TermList] = termsSorted.map(t =>
-      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+      withoutDeleted(
+        decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1, reBound, k1, b, avgdl),
         deleted)).toArray
     // rarest list leads the traversal (smallest-list-leads, the reference's
     // build-on-smaller-side trick, psi/utils/ec_point_store.cc:133-222)
@@ -1480,10 +1540,12 @@ object Searcher {
                    accScored: LongAccumulator = null,
                    accPruned: LongAccumulator = null,
                    pruning: Boolean = true,
-                   deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                   deleted: Array[Long] = Array.emptyLongArray,
+                   reBound: Boolean = false): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     val lists: Array[TermList] = termsSorted.filter(segsByTerm.contains).map(t =>
-      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+      withoutDeleted(
+        decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1, reBound, k1, b, avgdl),
         deleted)).toArray
       .filter(_.docs.nonEmpty)
     if (lists.isEmpty) return Iterator.empty
@@ -1595,14 +1657,37 @@ object Searcher {
     heap.iterator.toArray.iterator
   }
 
-  /** Per-shard boolean-tree evaluation (document-at-a-time, exact):
-    * candidates come from the rarest REQUIRED term's list when the tree's
-    * root is conjunctive (every match must contain it), otherwise from the
-    * ascending merge of ALL lists (sound because match-all trees are
-    * rejected up front — every matching doc holds at least one tree term).
-    * Per candidate, every list gallops its cursor forward (monotone — each
-    * list is traversed at most once per shard), presence + tf are read at
-    * the cursor, and [[BoolQuery.evalScore]] walks the tree.
+  /** Per-shard boolean-tree evaluation (document-at-a-time, EXACT, with
+    * block-max pruning through the tree — the r4 verdict's "WAND-class
+    * skipping for boolean trees"). Admissible bounds come from
+    * [[BoolQuery.upperBound]] (AND/OR sum their children — this engine's OR
+    * sums matched clauses — NOT bounds at 0, Boost multiplies), applied at
+    * three tiers, every one guarded by `bound ≤ θ` with θ the current k-th
+    * heap score, so skipping never changes the result:
+    *
+    *  1. SHARD-CONSTANT exit — every leaf at its list-wide ceiling
+    *     (idf·(k1+1)·max over block maxima). Once θ beats it, no remaining
+    *     candidate can enter the heap and the walk stops.
+    *  2a. Conjunctive root (required terms exist): candidates come from the
+    *     rarest required list; BEFORE galloping the other lists, the tree
+    *     bound with the lead at its CURRENT block and every other leaf at
+    *     its list ceiling is tested — a cold lead block skips the candidate
+    *     for the cost of one bound walk.
+    *  2b. Disjunctive root: WAND pivoting over the POSITIVE lists only
+    *     (every match contains a positive-occurrence term,
+    *     [[BoolQuery.positiveTerms]]) — lists stay sorted by current docId,
+    *     the pivot is the shortest prefix whose tree bound (prefix leaves
+    *     at list ceilings) beats θ, and lists before the pivot gallop
+    *     straight to it: docs between are never touched, the WAND skip.
+    *  3. BLOCK-MAX recheck at the candidate — presence now known, each
+    *     present leaf bounds at its current 128-posting block maximum —
+    *     before the exact [[BoolQuery.evalScore]] walk runs (negative
+    *     lists gallop only after this test passes: a pruned candidate
+    *     never pays the veto lookup).
+    *
+    * With `pruning = false` (delta indexes / tombstoned shards, where the
+    * stored block alignment is stale) every bound is +∞ and the walk
+    * degrades to the exact unpruned traversal.
     */
   def scoreShardBool(segsByTerm: Map[String, Array[PostingSeg]],
                      lens: ShardLens, tree: BoolQ,
@@ -1610,55 +1695,53 @@ object Searcher {
                      idfByTerm: Map[String, Double],
                      k1: Double, b: Double, avgdl: Double, k: Int,
                      accScored: LongAccumulator,
-                     deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                     accPruned: LongAccumulator = null,
+                     pruning: Boolean = false,
+                     deleted: Array[Long] = Array.emptyLongArray,
+                     reBound: Boolean = false): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     // a required term with no postings in this shard → no match possible
     if (required.exists(t => !segsByTerm.contains(t))) return Iterator.empty
     val present = termsSorted.filter(segsByTerm.contains)
     val lists: Array[TermList] = present.map(t =>
-      withoutDeleted(decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1),
+      withoutDeleted(
+        decodeTermList(t, segsByTerm(t), idfByTerm(t) * k1p1, reBound, k1, b, avgdl),
         deleted)).toArray
     val byTerm: Map[String, Int] = present.zipWithIndex.toMap
     val n = lists.length
     if (n == 0) return Iterator.empty
     if (required.exists(t => lists(byTerm(t)).docs.isEmpty)) return Iterator.empty
 
-    // candidate source: rarest required list, or the all-list merge
-    val leadIdx: Int =
-      if (required.isEmpty) -1
-      else required.map(byTerm).minBy(i => lists(i).docs.length)
-    def nextCandidate(prev: Long): Long = {
-      if (leadIdx >= 0) {
-        val l = lists(leadIdx)
-        if (prev >= 0) l.pos = gallop(l.docs, l.pos, prev + 1)
-        if (l.pos < l.docs.length) l.docs(l.pos) else Long.MinValue
-      } else {
-        // min over cursors strictly past prev
-        var best = Long.MaxValue
-        var i = 0
-        while (i < n) {
-          val l = lists(i)
-          if (prev >= 0) l.pos = gallop(l.docs, l.pos, prev + 1)
-          if (l.pos < l.docs.length && l.docs(l.pos) < best) best = l.docs(l.pos)
-          i += 1
-        }
-        if (best == Long.MaxValue) Long.MinValue else best
+    // per-list ceilings (idf·(k1+1)·max over the list's block bounds);
+    // +∞ when pruning is off so every bound test passes
+    val listMaxUb = new Array[Double](n)
+    if (pruning) {
+      var i = 0
+      while (i < n) {
+        val l = lists(i)
+        var m = 0.0f; var j = 0
+        while (j < l.blockMax.length) { if (l.blockMax(j) > m) m = l.blockMax(j); j += 1 }
+        listMaxUb(i) = l.idfK1p1 * m
+        i += 1
       }
+    } else java.util.Arrays.fill(listMaxUb, Double.PositiveInfinity)
+    def curUb(i: Int): Double = {
+      val l = lists(i)
+      if (l.pos < l.docs.length) l.idfK1p1 * l.blockMax(l.pos >>> 7) else 0.0
     }
+    val constUb: Double =
+      if (pruning)
+        BoolQuery.upperBound(tree, t => byTerm.get(t).map(listMaxUb).getOrElse(0.0))
+      else Double.PositiveInfinity
 
     val heap = mutable.PriorityQueue.empty[Hit](
       Ordering.by((h: Hit) => (-h.score, h.docId)))
     var scored = 0L
+    var pruned = 0L
     val has = new Array[Boolean](n)
-    var cand = nextCandidate(-1L)
-    while (cand != Long.MinValue) {
-      var i = 0
-      while (i < n) {
-        val l = lists(i)
-        l.pos = gallop(l.docs, l.pos, cand)
-        has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
-        i += 1
-      }
+    def theta: Double = if (heap.size >= k) heap.head.score else Double.NegativeInfinity
+    // exact evaluation at `cand`; every present list's cursor sits at cand
+    def evalAt(cand: Long): Unit = {
       val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
       val denomK = k1 * (1.0 - b + b * (dlen / avgdl))
       val score = BoolQuery.evalScore(tree,
@@ -1673,9 +1756,152 @@ object Searcher {
         if (heap.size < k) heap.enqueue(Hit(cand, score))
         else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
       }
-      cand = nextCandidate(cand)
+    }
+
+    if (required.nonEmpty) {
+      // ---- conjunctive root: rarest required list leads ------------------
+      val leadIdx = required.map(byTerm).minBy(i => lists(i).docs.length)
+      val lead = lists(leadIdx)
+      val leadTerm = present(leadIdx)
+      var li = 0
+      var done = false
+      while (!done && li < lead.docs.length) {
+        val th = theta
+        if (constUb <= th) done = true // tier 1: shard exhausted for this θ
+        else {
+          val cand = lead.docs(li)
+          lead.pos = li
+          // tier 2a: lead at its current block, other leaves optimistic
+          val b1 =
+            if (pruning)
+              BoolQuery.upperBound(tree, t =>
+                if (t == leadTerm) lead.idfK1p1 * lead.blockMax(li >>> 7)
+                else byTerm.get(t).map(listMaxUb).getOrElse(0.0))
+            else Double.PositiveInfinity
+          if (b1 <= th) pruned += 1
+          else {
+            var i = 0
+            while (i < n) {
+              val l = lists(i)
+              l.pos = gallop(l.docs, l.pos, cand)
+              has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
+              i += 1
+            }
+            // tier 3: block-max recheck with exact presence
+            val b2 =
+              if (pruning)
+                BoolQuery.upperBound(tree, t => byTerm.get(t) match {
+                  case Some(j) if has(j) => curUb(j)
+                  case _ => 0.0
+                })
+              else Double.PositiveInfinity
+            if (b2 <= th) pruned += 1
+            else evalAt(cand)
+          }
+          li += 1
+        }
+      }
+    } else {
+      // ---- disjunctive root: WAND pivoting over the positive lists -------
+      val posTermSet = BoolQuery.positiveTerms(tree)
+      val posFlag: Array[Boolean] =
+        Array.tabulate(n)(i => posTermSet.contains(present(i)))
+      val order: Array[Int] = (0 until n).filter(posFlag).toArray
+      val m = order.length
+      if (m == 0) return Iterator.empty // no positive list here → no match
+      def curDoc(i: Int): Long = {
+        val l = lists(i)
+        if (l.pos < l.docs.length) l.docs(l.pos) else Long.MaxValue
+      }
+      def resort(): Unit = {
+        var i = 1
+        while (i < m) {
+          val v = order(i); val key = curDoc(v)
+          var j = i - 1
+          while (j >= 0 && curDoc(order(j)) > key) { order(j + 1) = order(j); j -= 1 }
+          order(j + 1) = v
+          i += 1
+        }
+      }
+      val inPrefix = new Array[Boolean](n)
+      resort()
+      var done = false
+      while (!done) {
+        if (curDoc(order(0)) == Long.MaxValue) done = true
+        else {
+          val th = theta
+          // pivot: shortest docId-order prefix whose tree bound beats θ
+          // (tier 1 is subsumed: the full-set bound ≤ constUb, so a θ past
+          // constUb finds no pivot and ends the walk)
+          java.util.Arrays.fill(inPrefix, false)
+          var p = -1
+          var i = 0
+          while (p < 0 && i < m && curDoc(order(i)) != Long.MaxValue) {
+            inPrefix(order(i)) = true
+            val ub =
+              if (pruning)
+                BoolQuery.upperBound(tree, t => byTerm.get(t) match {
+                  case Some(j) if inPrefix(j) => listMaxUb(j)
+                  case _ => 0.0
+                })
+              else Double.PositiveInfinity
+            if (ub > th) p = i
+            i += 1
+          }
+          if (p < 0) done = true // no remaining doc can enter the heap
+          else {
+            val pivotDoc = curDoc(order(p))
+            if (curDoc(order(0)) == pivotDoc) {
+              // the equal-docId run can extend past the pivot index — the
+              // whole run participates and advances (a partial advance
+              // would re-emit pivotDoc next iteration)
+              var runEnd = p + 1
+              while (runEnd < m && curDoc(order(runEnd)) == pivotDoc) runEnd += 1
+              // positive presence is known without galloping: exactly the
+              // run sits at pivotDoc (lists beyond it are strictly ahead)
+              java.util.Arrays.fill(has, false)
+              i = 0
+              while (i < runEnd) { has(order(i)) = true; i += 1 }
+              // tier 3: block-max recheck before the veto lookup + eval
+              val b2 =
+                if (pruning)
+                  BoolQuery.upperBound(tree, t => byTerm.get(t) match {
+                    case Some(j) if has(j) => curUb(j)
+                    case _ => 0.0
+                  })
+                else Double.PositiveInfinity
+              if (b2 <= th) pruned += 1
+              else {
+                // gallop the negative-only lists for the NOT veto test
+                i = 0
+                while (i < n) {
+                  if (!posFlag(i)) {
+                    val l = lists(i)
+                    l.pos = gallop(l.docs, l.pos, pivotDoc)
+                    has(i) = l.pos < l.docs.length && l.docs(l.pos) == pivotDoc
+                  }
+                  i += 1
+                }
+                evalAt(pivotDoc)
+              }
+              i = 0
+              while (i < runEnd) { lists(order(i)).pos += 1; i += 1 }
+            } else {
+              // lists before the pivot gallop forward to it — the WAND skip
+              i = 0
+              while (i < p) {
+                val l = lists(order(i))
+                l.pos = gallop(l.docs, l.pos, pivotDoc)
+                i += 1
+              }
+            }
+            resort()
+          }
+        }
+      }
     }
     if (accScored != null) accScored.add(scored)
+    if (accPruned != null) accPruned.add(pruned)
     heap.iterator.toArray.iterator
   }
 }

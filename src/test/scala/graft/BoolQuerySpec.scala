@@ -173,6 +173,28 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(tested == 12)
   }
 
+  test("block-max pruning inside trees: candidates pruned, ranks stay exact") {
+    // hot-term trees at small k: θ rises fast, so the per-candidate tree
+    // bounds (BoolQuery.upperBound over current block maxima) must actually
+    // reject candidates — while every ranking stays bit-identical to the
+    // brute-force oracle (the r4 verdict's done-criterion for tree pruning)
+    val s = new Searcher(spark, indexDir)
+    for (q <- Seq(
+        "(import def) OR (val class)",
+        "import OR def OR val",
+        "(util_7 def) OR (util_3 val)",
+        "import (def OR -val)",
+        "import def^2 OR val^0.5")) {
+      val tree = BoolQuery.parse(q)
+      val g = s.searchBoolTree(tree, 5).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(g == want(tree, 5), s"query '$q'")
+      assert(g.nonEmpty, s"vacuous pruning gate for '$q'")
+    }
+    assert(s.candidatesPruned.value > 0,
+      s"hot boolean trees pruned nothing (scored=${s.candidatesScored.value})")
+  }
+
   test("shard pruning is the tree's satisfiability algebra") {
     // a conjunctive root intersects required shard sets: rare terms touch
     // few shards, so the AND of two rare terms must touch no more shards

@@ -43,7 +43,8 @@ class CodecSpec extends AnyFunSuite {
     val docs = Array.tabulate(300)(i => i.toLong * 3)
     val tfs = Array.tabulate(300)(i => 1 + (i % 7))
     val dlens = Array.tabulate(300)(i => 50 + (i % 100))
-    val (firsts, maxes) = Codec.blockMeta(docs, tfs, dlens, 1.2, 0.75, 77.7)
+    val (firsts, maxes, maxTfs, minDls) =
+      Codec.blockMeta(docs, tfs, dlens, 1.2, 0.75, 77.7)
     assert(firsts.length == 3 && maxes.length == 3)
     assert(firsts(0) == 0 && firsts(1) == docs(128) && firsts(2) == docs(256))
     var i = 0
@@ -51,7 +52,20 @@ class CodecSpec extends AnyFunSuite {
       val tf = tfs(i).toDouble
       val norm = tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlens(i) / 77.7))
       assert(maxes(i / 128).toDouble >= norm, s"bound not admissible at $i")
+      assert(maxTfs(i / 128) >= tfs(i) && minDls(i / 128) <= dlens(i))
       i += 1
+    }
+    // avgdl-free recompute: admissible under a DIFFERENT corpus avgdl
+    for (avgdl2 <- Seq(30.0, 77.7, 200.0)) {
+      val re = Codec.recomputeBlockUb(maxTfs, minDls, 1.2, 0.75, avgdl2)
+      i = 0
+      while (i < 300) {
+        val tf = tfs(i).toDouble
+        val norm = tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlens(i) / avgdl2))
+        assert(re(i / 128).toDouble >= norm,
+          s"recomputed bound not admissible at $i under avgdl=$avgdl2")
+        i += 1
+      }
     }
   }
 

@@ -153,6 +153,40 @@ class StreamingIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("pruning stays ON under deltas + tombstones: on/off bit-identity, prunes fire") {
+    // r4 hard-disabled block-max pruning whenever deltas or tombstones
+    // existed; r5 re-derives admissible bounds from the avgdl-free per-block
+    // stats (maxTf/minDlen) under the combined avgdl and rebuilds block
+    // alignment for filtered lists — so pruning must now (a) fire on a
+    // base+delta+tombstone index and (b) change nothing: results bit-equal
+    // to a force-unpruned searcher on AND, OR, and boolean-tree paths.
+    val (base, deltas, _) = env
+    val allDirs = base +: deltas
+    val keys = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
+      .filter(col("docId") % 31 === 0).select("repo", "path", "commit")
+    val tombs = s"${TestSpark.workDir}/incremental/tombs_r5.parquet"
+    graft.index.Tombstones.applyDeletes(spark, keys, allDirs, tombs)
+    val on = new Searcher(spark, base, deltas, tombstones = Some(tombs))
+    val off = new Searcher(spark, base, deltas, tombstones = Some(tombs))
+    off.forcePruningOff = true
+    for (q <- Seq("import val", "util_7 import", "import def val", "util_3")) {
+      val g = on.search(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      val w = off.search(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(g == w, s"AND pruning-on vs off differ for '$q'")
+      val gOr = on.searchOr(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      val wOr = off.searchOr(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(gOr == wOr, s"OR pruning-on vs off differ for '$q'")
+    }
+    for (q <- Seq("(util_7 import) OR (util_3 val)", "import (def OR -val)")) {
+      val g = on.searchBool(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      val w = off.searchBool(q, 10).collect().map(h => (h.docId, h.score)).toSeq
+      assert(g == w, s"bool pruning-on vs off differ for '$q'")
+    }
+    assert(on.candidatesPruned.value > 0,
+      "pruning never fired on the delta+tombstone index")
+    assert(off.candidatesPruned.value == 0)
+  }
+
   test("restart is idempotent: recommitting the last batch changes nothing") {
     val (base, deltas, _) = env
     val batchDir = deltas.last
