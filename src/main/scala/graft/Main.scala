@@ -24,6 +24,7 @@ import graft.query.Searcher
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
   *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
   *          [--from N]       (offset pagination of the conjunctive ranking)
+  *          [--after N]      (cursor pagination: searchAfter past rank N)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--count true]   (total conjunctive hit count, no ranking)
   *          [--explain true] (per-term tf/df/idf/contribution for the top-k)
@@ -287,6 +288,10 @@ object Main {
         val fuzzyEdits = opts.get("fuzzy").map(_.toInt) // e.g. --fuzzy 1 (Levenshtein edits)
         val fuzzyPrefix = opts.getOrElse("fuzzyPrefix", "0").toInt
         val fromRank = opts.getOrElse("from", "0").toInt // offset pagination
+        // cursor pagination: skip the first N ranks via a searchAfter cursor
+        // (page 1 of size N fetched once, its last hit becomes the cursor) —
+        // same result contract as --from N, constant per-shard heap cost
+        val afterRank = opts.getOrElse("after", "0").toInt
         // query modes are mutually exclusive — a second mode flag would be
         // SILENTLY dropped by dispatch precedence (mis-answering), so reject
         // any combination up front; check the PARSED value, not flag
@@ -306,6 +311,10 @@ object Main {
         if (fromRank > 0 && activeModes.nonEmpty)
           sys.error(s"--from paginates the default conjunctive ranking and " +
             s"cannot be combined with --${activeModes.head}")
+        if (afterRank > 0 && (activeModes.nonEmpty || fromRank > 0))
+          sys.error("--after paginates the default conjunctive ranking and " +
+            "cannot be combined with " +
+            (if (fromRank > 0) "--from" else s"--${activeModes.head}"))
         // snippets/facets/explain/count internally use conjunctive (AND)
         // matching — reject mode flags they would silently ignore too
         for (out <- Seq("snippets", "facet", "explain", "count")
@@ -363,6 +372,8 @@ object Main {
                         org.apache.spark.sql.functions.expr(w))
                       case (None, None, None) =>
                         if (fromRank > 0) searcher.searchPage(q, k, fromRank)
+                        else if (afterRank > 0) searcher.searchAfter(q, k,
+                          searcher.search(q, afterRank).collect().last)
                         else searcher.search(q, k)
                     }).collect()
         val ms = (System.nanoTime() - t0) / 1e6
@@ -391,11 +402,14 @@ object Main {
               case (None, Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
               case (None, None, Some(w)) => OracleBm25.topKWhere(files, q, k,
                 org.apache.spark.sql.functions.expr(w))
-              // paged oracle: top-(from+k) minus the first `from` ranks
-              case (None, None, None) => OracleBm25.topK(files, q, fromRank + k)
+              // paged oracle: top-(skip+k) minus the first `skip` ranks
+              // (skip = --from or --after; both page the same exact ranking)
+              case (None, None, None) =>
+                OracleBm25.topK(files, q, math.max(fromRank, afterRank) + k)
             }
           val want = oracleDf.collect()
-            .map(r => (r.getLong(0), r.getDouble(1))).drop(fromRank)
+            .map(r => (r.getLong(0), r.getDouble(1)))
+            .drop(math.max(fromRank, afterRank))
           val got = hits.map(h => (h.docId, h.score))
           val ok = got.sameElements(want)
           println(if (ok) s"ORACLE MATCH: rank-identical (${got.length} hits)"

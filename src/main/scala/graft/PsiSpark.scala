@@ -121,6 +121,11 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   /** Ranks `from .. from+k-1` of the exact conjunctive ranking. */
   def queryPage(q: String, k: Int, from: Int) = searcher.searchPage(q, k, from)
 
+  /** Cursor pagination: the next k hits strictly after `after` — constant
+    * cost per page at any depth (vs queryPage's offset-linear cost).
+    */
+  def queryAfter(q: String, k: Int, after: Hit) = searcher.searchAfter(q, k, after)
+
   /** Total conjunctive hit count. */
   def queryCount(q: String): Long = searcher.searchCount(q)
 

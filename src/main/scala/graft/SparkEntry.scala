@@ -525,6 +525,22 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_page_after" -> ((s, dir) => {
+      // CURSOR pagination (searchAfter, r5): pages 2 and 3 (k = 5) of the
+      // exact conjunctive ranking, each fetched with the previous page's
+      // last hit as the cursor — per-shard heaps stay size k at any depth
+      // (vs offset paging's from+k). The two pages must TILE ranks 5..14
+      // exactly (oracle: LIMIT 10 OFFSET 5 of the full ranking).
+      CorpusFixture.ensure(s)
+      val se = new graft.query.Searcher(s, CorpusFixture.indexDir)
+      val p1 = se.search(Bm25Query, 5).collect()
+      val p2 = se.searchAfter(Bm25Query, 5, p1.last).collect()
+      val p3 = se.searchAfter(Bm25Query, 5, p2.last).collect()
+      import s.implicits._
+      s.createDataset((p2 ++ p3).toSeq)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_prefix" -> ((s, dir) => {
       // wildcard `util_1*`: dictionary range expansion (df desc, term asc,
       // cap 64) → disjunctive WAND scoring over the completions; the oracle
@@ -1593,6 +1609,31 @@ object SparkEntry {
          |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |ORDER BY $scoreSum DESC, docId LIMIT 10 OFFSET 10""".stripMargin
+    },
+
+    // cursor-paged oracle: searchAfter pages 2+3 (k=5) tile ranks 5..14 of
+    // the exact q_bm25_topk ranking
+    "q_bm25_page_after" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.zipWithIndex.map { case (t, i) =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"""
+      }.mkString(",\n  ")
+      val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, count(*) AS nt, $termScores
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |ORDER BY $scoreSum DESC, docId LIMIT 10 OFFSET 5""".stripMargin
     },
 
     // regex expansion reproduced in SQL (anchored full-term match, same cap

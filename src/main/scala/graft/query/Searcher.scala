@@ -173,7 +173,23 @@ class Searcher(spark: SparkSession, indexDir: String,
     * deterministic tiebreak (score desc, docId asc), per-doc term scores
     * accumulated in ascending-term order in Double.
     */
-  def search(query: String, k: Int): Dataset[Hit] = {
+  def search(query: String, k: Int): Dataset[Hit] = searchImpl(query, k, null)
+
+  /** CURSOR pagination (Lucene's `searchAfter`): the next k hits strictly
+    * AFTER `after` in the exact (score desc, docId asc) ranking. Unlike
+    * [[searchPage]] (offset paging — per-shard heaps grow to `from + k`,
+    * cost linear in the page depth), the cursor keeps every per-shard heap
+    * at size k regardless of how deep the page is: each kernel admits only
+    * hits ranked after the cursor, so page N costs the same as page 1.
+    * Pages tile the exact ranking: `search(q, k)` then repeated
+    * `searchAfter(q, k, lastHitOfPreviousPage)`.
+    */
+  def searchAfter(query: String, k: Int, after: Hit): Dataset[Hit] = {
+    require(after != null, "searchAfter needs a cursor hit; use search() for page 1")
+    searchImpl(query, k, after)
+  }
+
+  private def searchImpl(query: String, k: Int, after: Hit): Dataset[Hit] = {
     val terms = Tokenize.tokenize(query).distinct.sorted
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     val info = lookupTerms(terms)
@@ -202,6 +218,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val termsSorted = terms
     val pruning = usePruning
     val reB = needReBound
+    val cursor = after
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -213,7 +230,7 @@ class Searcher(spark: SparkSession, indexDir: String,
           accT.add(1)
           val lens = Searcher.mergeLens(lenIt)
           Searcher.scoreShard(segsByTerm, lens, termsSorted, idfByTerm,
-            k1, b, avgdl, k, accS, accP, pruning, deleted, reB)
+            k1, b, avgdl, k, accS, accP, pruning, deleted, reB, cursor)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -673,14 +690,41 @@ class Searcher(spark: SparkSession, indexDir: String,
     * neighbor), a dead term suggests the nearest dictionary term within
     * `maxEdits` classic Levenshtein edits by the fuzzy expansion's rule
     * (distance asc, df desc, term asc), or None when nothing is that
-    * close. One dict scan per dead term, same plan as [[expandFuzzy]].
+    * close.
+    *
+    * ONE Spark job regardless of how many terms are dead (r5; previously a
+    * dict scan PER dead term): the dead-term list (driver-sized — it is a
+    * subset of the query's tokens) broadcasts into a single
+    * theta-join against the df-summed dictionary with the same
+    * length-window cut as [[expandFuzzy]], and a per-dead-term window takes
+    * the (distance asc, df desc, term asc) minimum.
     */
   def suggest(query: String, maxEdits: Int = 2): Seq[(String, Option[String])] = {
     val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return Seq.empty
     val info = lookupTerms(terms)
+    val dead = terms.filter(t => info(t).df == 0L)
+    val best: Map[String, String] =
+      if (dead.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val deadDf = broadcast(dead.toSeq.toDF("q"))
+        val w = Window.partitionBy("q")
+          .orderBy($"dist".asc, $"df".desc, $"term".asc)
+        dict
+          .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+          .join(deadDf,
+            length($"term").between(length($"q") - maxEdits,
+              length($"q") + maxEdits) &&
+              levenshtein($"term", $"q") <= maxEdits)
+          .withColumn("dist", levenshtein($"term", $"q"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"q", $"term").as[(String, String)].collect().toMap
+      }
     terms.map { t =>
       if (info(t).df > 0L) (t, Some(t))
-      else (t, expandFuzzy(t, maxEdits, 0, 1).headOption)
+      else (t, best.get(t))
     }
   }
 
@@ -1450,7 +1494,8 @@ object Searcher {
                  accScored: LongAccumulator, accPruned: LongAccumulator,
                  pruning: Boolean = true,
                  deleted: Array[Long] = Array.emptyLongArray,
-                 reBound: Boolean = false): Iterator[Hit] = {
+                 reBound: Boolean = false,
+                 after: Hit = null): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     val lists: Array[TermList] = termsSorted.map(t =>
       withoutDeleted(
@@ -1507,8 +1552,15 @@ object Searcher {
             i += 1
           }
           scored += 1
-          if (heap.size < k) heap.enqueue(Hit(cand, score))
-          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+          // cursor paging (searchAfter): admit only hits strictly AFTER the
+          // cursor in (score desc, docId asc) rank order — the per-shard
+          // heap stays size k at any page depth
+          val qualifies = after == null || score < after.score ||
+            (score == after.score && cand > after.docId)
+          if (qualifies) {
+            if (heap.size < k) heap.enqueue(Hit(cand, score))
+            else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+          }
         }
       }
       li += 1

@@ -32,6 +32,22 @@ class SearcherSpec extends AnyFunSuite {
     assert(searcher.searchOr("zzqx_a zzqx_b", 5).isEmpty)
   }
 
+  test("searchAfter: cursor pages tile the exact ranking") {
+    // three k=5 cursor pages must reproduce search(q, 15) exactly — the
+    // constant-cost-per-page twin of offset paging (searchPage)
+    val q = "import val"
+    val full = got(searcher.search(q, 15)).toSeq
+    assert(full.size == 15, "fixture too small for the paging test")
+    val p1 = searcher.search(q, 5).collect()
+    val p2 = searcher.searchAfter(q, 5, p1.last).collect()
+    val p3 = searcher.searchAfter(q, 5, p2.last).collect()
+    assert((p1 ++ p2 ++ p3).map(h => (h.docId, h.score)).toSeq == full)
+    // a cursor at the very last hit yields the empty page
+    val all = searcher.search("util_7 util_3", 1000).collect()
+    assert(all.nonEmpty)
+    assert(searcher.searchAfter("util_7 util_3", 5, all.last).isEmpty)
+  }
+
   test("OR-mode WAND pruning skips hot lists on rare+hot queries, stays exact") {
     // the WAND win condition: a rare high-idf term sets θ above the hot
     // list's score ceiling, so the hot list is GALLOPED between the rare
