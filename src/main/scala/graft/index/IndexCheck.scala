@@ -15,6 +15,11 @@ import graft.ShardLens
   *    segment's shard range; `n` == decoded length; `sumTf` == Σtf;
   *    tf ≥ 1; positional segments: per-doc position lists ascending with
   *    length == tf
+  *  - block skip metadata (r5): blockFirst/blockMaxTf sized ceil(n/128) with
+  *    blockFirst == the block-leading docIds and blockMaxTf == the exact
+  *    per-block max tf; blockMinDlen == the exact per-block min dlen (its
+  *    own pass — needs the dlens join); the avgdl-free pruning bounds
+  *    derive from these, so an error here is silently-inadmissible pruning
   *  - dictionary df/cf == the per-term sums over segments (both directions:
   *    no missing dict row, no orphan dict row)
   *  - dlens rows: firstDocId == shard·docsPerShard, length ≤ docsPerShard,
@@ -55,10 +60,13 @@ object IndexCheck {
     val raw = spark.read.parquet(s"$indexDir/postings.parquet")
     val segs = (if (positional) raw
                 else raw.withColumn("posBytes", lit(null).cast("binary")))
-      .select($"term", $"shard", $"n", $"sumTf", $"docBytes", $"tfBytes", $"posBytes")
-      .as[(String, Int, Int, Long, Array[Byte], Array[Byte], Array[Byte])]
+      .select($"term", $"shard", $"n", $"sumTf", $"docBytes", $"tfBytes",
+        $"blockFirst", $"blockMaxTf", $"posBytes")
+      .as[(String, Int, Int, Long, Array[Byte], Array[Byte],
+        Array[Long], Array[Int], Array[Byte])]
     val segViolations: Dataset[Violation] = segs.mapPartitions { it =>
-      it.flatMap { case (term, shard, n, sumTf, docBytes, tfBytes, posBytes) =>
+      it.flatMap { case (term, shard, n, sumTf, docBytes, tfBytes,
+                         blockFirst, blockMaxTf, posBytes) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[Violation]
         val subj = s"term='$term' shard=$shard"
         try {
@@ -87,6 +95,33 @@ object IndexCheck {
           if (!tfPos) out += Violation("seg-tf", subj, "tf < 1")
           if (s != sumTf) out += Violation("seg-sumtf", subj,
             s"sumTf=$sumTf but Σtf=$s")
+          // block skip metadata (r5 format): the pruning kernels index these
+          // arrays by pos >>> 7, and the avgdl-free bounds derive from
+          // blockMaxTf — a wrong length or an understated max would make
+          // recomputed bounds silently inadmissible
+          val nBlocks = (n + Codec.BlockSize - 1) / Codec.BlockSize
+          if (blockFirst.length != nBlocks || blockMaxTf.length != nBlocks)
+            out += Violation("seg-blocks", subj,
+              s"block arrays sized ${blockFirst.length}/${blockMaxTf.length}, expected $nBlocks")
+          else {
+            var blk = 0
+            var firstsOk = true
+            var maxTfOk = true
+            while (blk < nBlocks) {
+              val start = blk * Codec.BlockSize
+              val end = math.min(start + Codec.BlockSize, n)
+              if (blockFirst(blk) != docs(start)) firstsOk = false
+              var m = 0
+              var j = start
+              while (j < end) { if (tfs(j) > m) m = tfs(j); j += 1 }
+              if (blockMaxTf(blk) != m) maxTfOk = false
+              blk += 1
+            }
+            if (!firstsOk) out += Violation("seg-blockfirst", subj,
+              "blockFirst does not match the block-leading docIds")
+            if (!maxTfOk) out += Violation("seg-blockmaxtf", subj,
+              "blockMaxTf is not the exact per-block max tf")
+          }
           if (posBytes != null) {
             val flat = Codec.decodePositions(posBytes, tfs)
             val off = Codec.prefixSums(tfs)
@@ -175,6 +210,38 @@ object IndexCheck {
         Violation("dlens-slot", s"docId=$d",
           s"docs.dlen=$dl dlens slot=${sl.map(_.toString).getOrElse("missing")}") }
 
+    // ---- blockMinDlen exactness (r5 format): the stored per-block min dlen
+    // must equal the true min over the block's documents — an OVERSTATED min
+    // makes Codec.recomputeBlockUb return a too-small bound (inadmissible
+    // pruning under deltas). Needs the dlens join, so it runs as its own
+    // distributed pass: explode postings into (docId, block) rows, join the
+    // shard slot lengths, per-block min, compare to the stored value.
+    val minDlenViolations = {
+      val blockDocs = raw
+        .select($"term", $"shard", $"n", $"docBytes", $"blockMinDlen")
+        .as[(String, Int, Int, Array[Byte], Array[Int])]
+        .flatMap { case (term, shard, n, docBytes, bmd) =>
+          // an undecodable segment is reported by the segment pass — skip
+          // it here rather than failing the whole fsck job
+          val docs = try Codec.decodeDeltas(docBytes, n)
+                     catch { case _: Exception => Array.emptyLongArray }
+          docs.iterator.zipWithIndex.map { case (d, i) =>
+            val blk = i >>> 7
+            (term, shard, blk, d,
+              if (bmd != null && blk < bmd.length) bmd(blk) else Int.MinValue)
+          }
+        }.toDF("term", "shard", "blk", "docId", "storedMin")
+      blockDocs.join(slotRows, Seq("docId"))
+        .groupBy($"term", $"shard", $"blk", $"storedMin")
+        .agg(min($"slotLen").as("trueMin"))
+        .filter($"storedMin" =!= $"trueMin")
+        .select($"term", $"shard", $"blk", $"storedMin", $"trueMin")
+        .as[(String, Int, Int, Int, Int)]
+        .map { case (t, sh, blk, st, tr) =>
+          Violation("seg-blockmindlen", s"term='$t' shard=$sh block=$blk",
+            s"stored minDlen=$st, true min over the block's docs=$tr") }
+    }
+
     // ---- meta counts ------------------------------------------------------
     val numSegments = raw.count()
     val numTerms = dict.count()
@@ -202,6 +269,7 @@ object IndexCheck {
       dictViolations.take(MaxSamples) ++
       lensShapeViolations.take(MaxSamples) ++
       slotViolations.take(MaxSamples) ++
+      minDlenViolations.take(MaxSamples) ++
       docsViolations ++ metaViolations
     Report(numSegments, postingsTotal, numTerms, sampled.toArray.take(MaxSamples))
   }

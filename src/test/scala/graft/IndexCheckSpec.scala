@@ -86,6 +86,42 @@ class IndexCheckSpec extends AnyFunSuite {
     assert(r.violations.exists(_.check == "dlens-slot"), r.render)
   }
 
+  test("tampered blockMaxTf is detected") {
+    // an understated per-block max tf would make the avgdl-free pruning
+    // bounds (Codec.recomputeBlockUb) silently inadmissible — fsck must name it
+    val dir = copyIndex("blockmaxtf")
+    val seg = spark.read.parquet(s"$indexDir/postings.parquet")
+    val victim = seg.orderBy(desc("sumTf"), asc("term"), asc("shard"))
+      .select("term", "shard").head()
+    rewrite(seg.withColumn("blockMaxTf",
+      when(col("term") === victim.getString(0) &&
+        col("shard") === victim.getInt(1),
+        transform(col("blockMaxTf"), _ => lit(0)))
+        .otherwise(col("blockMaxTf"))),
+      s"$dir/postings.parquet")
+    val r = IndexCheck.check(spark, dir)
+    assert(!r.ok)
+    assert(r.violations.exists(_.check == "seg-blockmaxtf"), r.render)
+  }
+
+  test("tampered blockMinDlen is detected") {
+    // an OVERSTATED min dlen shrinks the recomputed bound below real
+    // postings' normalization — the other silently-inadmissible direction
+    val dir = copyIndex("blockmindlen")
+    val seg = spark.read.parquet(s"$indexDir/postings.parquet")
+    val victim = seg.orderBy(desc("sumTf"), asc("term"), asc("shard"))
+      .select("term", "shard").head()
+    rewrite(seg.withColumn("blockMinDlen",
+      when(col("term") === victim.getString(0) &&
+        col("shard") === victim.getInt(1),
+        transform(col("blockMinDlen"), x => x + 1000))
+        .otherwise(col("blockMinDlen"))),
+      s"$dir/postings.parquet")
+    val r = IndexCheck.check(spark, dir)
+    assert(!r.ok)
+    assert(r.violations.exists(_.check == "seg-blockmindlen"), r.render)
+  }
+
   test("tampered meta counts are detected") {
     val dir = copyIndex("meta")
     val meta = IndexBuilder.readMeta(indexDir)
