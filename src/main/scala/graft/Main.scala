@@ -20,12 +20,16 @@ import graft.query.Searcher
   *          [--near W]       (proximity: all terms within a W-token span)
   *          [--prefix true]  (wildcard: dictionary-expand q* then OR-score)
   *          [--regex true]   (anchored regex term query: dict-expand, OR-score)
+  *          [--wildcard true] (glob term query `util_1?`/`ut*l`: ? = one char,
+  *                            * = any run; dict-expand via regex, OR-score)
   *          [--bool true]    (boolean tree: `(a b) OR (c -d)`, `term^2` boosts)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
   *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
   *          [--from N]       (offset pagination of the conjunctive ranking)
   *          [--after N]      (cursor pagination: searchAfter past rank N)
   *          [--facet COL]    (facet counts over the full match set)
+  *          [--facetRanges COL:B1,B2,..] (numeric range-bucket counts)
+  *          [--inOrder true] (with --near W: chain must follow query order)
   *          [--count true]   (total conjunctive hit count, no ranking)
   *          [--explain true] (per-term tf/df/idf/contribution for the top-k)
   *          [--where "lang = 'scala'"] [--deltas D1,D2] [--oracle CORPUS_DIR]
@@ -281,10 +285,13 @@ object Main {
         val phraseMode = opts.getOrElse("phrase", "false").toBoolean
         val prefixMode = opts.getOrElse("prefix", "false").toBoolean
         val regexMode = opts.getOrElse("regex", "false").toBoolean
+        val wildcardMode = opts.getOrElse("wildcard", "false").toBoolean
         val boolMode = opts.getOrElse("bool", "false").toBoolean // e.g. --q "(a b) OR (c -d)" --bool true
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
+        // --inOrder true: Lucene inOrder SpanNear (chain follows query order)
+        val inOrder = opts.getOrElse("inOrder", "false").toBoolean
         val fuzzyEdits = opts.get("fuzzy").map(_.toInt) // e.g. --fuzzy 1 (Levenshtein edits)
         val fuzzyPrefix = opts.getOrElse("fuzzyPrefix", "0").toInt
         val fromRank = opts.getOrElse("from", "0").toInt // offset pagination
@@ -298,7 +305,8 @@ object Main {
         // presence (`--or false` is not a conflicting mode)
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
-          "regex" -> regexMode, "bool" -> boolMode,
+          "regex" -> regexMode, "wildcard" -> wildcardMode,
+          "bool" -> boolMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty,
@@ -306,6 +314,8 @@ object Main {
         if (activeModes.length > 1)
           sys.error(s"query modes are mutually exclusive — got " +
             activeModes.map("--" + _).mkString(", "))
+        if (inOrder && nearWin.isEmpty)
+          sys.error("--inOrder modifies --near and cannot be used without it")
         // --from pages the plain conjunctive ranking only (a paged variant
         // of every other mode would silently change its contract)
         if (fromRank > 0 && activeModes.nonEmpty)
@@ -317,7 +327,7 @@ object Main {
             (if (fromRank > 0) "--from" else s"--${activeModes.head}"))
         // snippets/facets/explain/count internally use conjunctive (AND)
         // matching — reject mode flags they would silently ignore too
-        for (out <- Seq("snippets", "facet", "explain", "count")
+        for (out <- Seq("snippets", "facet", "facetRanges", "explain", "count")
                if opts.get(out).exists(v => v.nonEmpty && v != "false");
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -338,6 +348,20 @@ object Main {
           val ms = (System.nanoTime() - t0) / 1e6
           println(f"facets of '$q' by $fc in $ms%.0f ms")
           counts.foreach(r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}"))
+          spark.stop(); return
+        }
+        // --facetRanges "dlen:250,300,350" — numeric bucket counts over the
+        // conjunctive match set (Solr range facets)
+        opts.get("facetRanges").foreach { spec =>
+          val Array(fc, bstr) = spec.split(":", 2)
+          val bounds = bstr.split(",").toSeq.map(_.trim.toDouble)
+          val t0 = System.nanoTime()
+          val rows = searcher.searchFacetRanges(q, fc, bounds).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"range facets of '$q' by $fc in $ms%.0f ms")
+          rows.foreach(r => println(
+            f"  [${Option(r.get(1)).getOrElse("-inf")}%-8s, " +
+            f"${Option(r.get(2)).getOrElse("+inf")}%-8s)  n=${r.getLong(3)}"))
           spark.stop(); return
         }
         if (opts.getOrElse("count", "false").toBoolean) {
@@ -361,12 +385,13 @@ object Main {
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (regexMode) searcher.searchRegex(q, k)
+                    else if (wildcardMode) searcher.searchWildcard(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
                     else if (fuzzyEdits.nonEmpty)
                       searcher.searchFuzzy(q, k, fuzzyEdits.get, fuzzyPrefix)
                     else (nearWin, notExpr, whereExpr) match {
-                      case (Some(w), _, _) => searcher.searchNear(q, k, w)
+                      case (Some(w), _, _) => searcher.searchNear(q, k, w, inOrder)
                       case (None, Some(ne), _) => searcher.searchNot(q, ne, k)
                       case (None, None, Some(w)) => searcher.searchWhere(q, k,
                         org.apache.spark.sql.functions.expr(w))
@@ -392,13 +417,17 @@ object Main {
               searcher.expandPrefix(q).mkString(" "), k)
             else if (regexMode) OracleBm25.topKOr(files,
               searcher.expandRegex(q).mkString(" "), k)
+            else if (wildcardMode) OracleBm25.topKOr(files,
+              searcher.expandWildcard(q).mkString(" "), k)
             else if (boolMode) OracleBm25.topKBool(files,
               graft.query.BoolQuery.parse(q), k)
             else if (orMode) OracleBm25.topKOr(files, q, k)
             else if (fuzzyEdits.nonEmpty) OracleBm25.topKOr(files,
               searcher.expandFuzzy(q, fuzzyEdits.get, fuzzyPrefix).mkString(" "), k)
             else (nearWin, notExpr, whereExpr) match {
-              case (Some(w), _, _) => OracleBm25.topKNear(files, q, w, k)
+              case (Some(w), _, _) =>
+                if (inOrder) OracleBm25.topKNearOrdered(files, q, w, k)
+                else OracleBm25.topKNear(files, q, w, k)
               case (None, Some(ne), _) => OracleBm25.topKNot(files, q, ne, k)
               case (None, None, Some(w)) => OracleBm25.topKWhere(files, q, k,
                 org.apache.spark.sql.functions.expr(w))

@@ -88,6 +88,10 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   /** Facet counts over the full conjunctive match set. */
   def queryFacets(q: String, facetCol: String) = searcher.searchFacets(q, facetCol)
 
+  /** Numeric range facets (bucket counts) over the match set. */
+  def queryFacetRanges(q: String, facetCol: String, bounds: Seq[Double]) =
+    searcher.searchFacetRanges(q, facetCol, bounds)
+
   /** Top-k with ±window-token snippets from the given corpus table. */
   def querySnippets(q: String, k: Int, files: DataFrame, window: Int = 8) =
     searcher.searchSnippets(q, k, files, window)
@@ -109,7 +113,8 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     searcher.searchFuzzy(term, k, maxEdits)
 
   /** Proximity top-k: all terms within a `window`-token span. */
-  def queryNear(q: String, k: Int, window: Int) = searcher.searchNear(q, k, window)
+  def queryNear(q: String, k: Int, window: Int, ordered: Boolean = false) =
+    searcher.searchNear(q, k, window, ordered)
 
   /** Negated conjunctive top-k (`q` AND NOT any of `notTerms`). */
   def queryNot(q: String, notTerms: String, k: Int) =
@@ -117,6 +122,9 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
 
   /** Regex term top-k (anchored full-term dictionary match → OR). */
   def queryRegex(pattern: String, k: Int) = searcher.searchRegex(pattern, k)
+
+  /** Wildcard (glob) term query: `?` = one char, `*` = any run. */
+  def queryWildcard(glob: String, k: Int) = searcher.searchWildcard(glob, k)
 
   /** Ranks `from .. from+k-1` of the exact conjunctive ranking. */
   def queryPage(q: String, k: Int, from: Int) = searcher.searchPage(q, k, from)

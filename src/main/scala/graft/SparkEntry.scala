@@ -39,10 +39,24 @@ object SparkEntry {
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
   private val NearQuery = "import util_7"
   private val NearWindow = 4
+  // ordered-proximity gate: same pair, chain must run import → util_7 —
+  // shuffled corpus tokens make order genuinely selective (ordered ⊊
+  // unordered at the same window)
+  private val NearOrderedWindow = 6
   // regex gate: anchored full-term match; portable regex core only (same
   // semantics under Java regex and DuckDB's RE2) — expands to util_10..19
   private val RegexQuery = "util_1[0-9]"
+  // wildcard gate: `?` = one char, `*` = any run — exercises both glyphs
+  // plus the literal-prefix pushdown ("ut"); the oracle reuses the regex
+  // oracle's shape over the translated pattern (one translation source:
+  // Searcher.globToRegex, so engine and oracle can never diverge)
+  private val WildcardQuery = "ut?l_1*"
+  private val WildcardRegex = graft.query.Searcher.globToRegex(WildcardQuery)
   private val FuzzyQuery = "util_7"
+  // dismax gate: three clauses of different shapes (plain term, AND pair,
+  // boosted term) under one tiebreaker — exercises match-any + the
+  // max/sum mix the oracle mirrors with greatest() + a coalesced fold
+  private val DismaxQuery = "DISMAX 0.3 (util_7 (def val) class^1.5)"
   private val MltSeedDoc = 42L
   // one live term, one 1-edit misspelling, one hopeless token
   private val SuggestQuery = "def utyl_7 zzqxnothingxx"
@@ -366,6 +380,26 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_facet_ranges" -> ((s, dir) => {
+      // numeric range facets over the conjunctive match set: dlen buckets
+      // (-inf,250) [250,300) [300,350) [350,inf) — bucket id is a codegen'd
+      // comparison chain, one docs join + one hash agg (Solr range facets)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchFacetRanges(Bm25Query, "dlen", Seq(250.0, 300.0, 350.0))
+    }),
+
+    "q_bm25_dismax" -> ((s, dir) => {
+      // disjunction-max tree (Lucene DisjunctionMaxQuery): matches any of
+      // {util_7, def AND val, class^1.5}; scores max + 0.3·(sum − max)
+      // over the matched clauses — best-clause semantics with a tiebreak,
+      // vs OR's disjunction-sum
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool(DismaxQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_filtered" -> ((s, dir) => {
       // metadata-filtered BM25: the filter docId list rides the galloping
       // intersection as a zero-idf list (Searcher.searchWhere)
@@ -430,6 +464,16 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_near_ordered" -> ((s, dir) => {
+      // inOrder SpanNear: some strictly-increasing position chain must
+      // follow the query's token order inside the window; survivors score
+      // plain conjunctive BM25 (bit-identical to the unwindowed query)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchNear(NearQuery, 10, NearOrderedWindow, ordered = true)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_not" -> ((s, dir) => {
       // negated-term query (import def util_7 AND NOT val AND NOT zzqx…):
       // negative posting lists ride the tombstone exclusion mechanism;
@@ -449,6 +493,16 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchRegex(RegexQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_wildcard" -> ((s, dir) => {
+      // wildcard (glob) term query: ? = one char, * = any run; rewritten
+      // to the anchored-regex expansion (same cap rule: df desc, term asc,
+      // 64) then disjunctive WAND scoring — Lucene's WildcardQuery rewrite
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchWildcard(WildcardQuery, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -990,6 +1044,52 @@ object SparkEntry {
        |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
   }
 
+  /** Ordered-proximity (inOrder SpanNear) oracle: per query SLOT an
+    * occurrence table, joined into a literal strictly-increasing chain in
+    * query order with the span bound on the ends — existence of ANY chain
+    * is equivalent to the engine's greedy sweep. Survivors score the
+    * standard conjunctive BM25 (same expression as nearOracleSql).
+    */
+  private def nearOrderedOracleSql(query: String, window: Int, k: Int): String = {
+    val seq = query.split(" ").toSeq
+    val terms = seq.distinct.sorted
+    val (k1, b) = (1.2, 0.75)
+    val termScores = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"
+    }.mkString(",\n  ")
+    val scoreSum = terms.indices.map(i => s"s_$i").mkString(" + ")
+    val occCtes = seq.zipWithIndex.map { case (t, i) =>
+      s"o$i AS (SELECT docid, ord FROM ptoks WHERE tok = '$t')"
+    }.mkString(",\n")
+    val joins = (1 until seq.length).map { i =>
+      s"JOIN o$i ON o$i.docid = o0.docid AND o$i.ord > o${i - 1}.ord"
+    }.mkString("\n  ")
+    val last = s"o${seq.length - 1}.ord"
+    s"""WITH $corpusCte,
+       |ptoks AS (
+       |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+       |  FROM docs),
+       |$occCtes,
+       |ndocs AS (SELECT DISTINCT o0.docid FROM o0
+       |  $joins
+       |  WHERE $last - o0.ord + 1 <= $window),
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+       |s AS (SELECT tf.docid, tf.tok,
+       |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+       |agg AS (SELECT docid, count(*) AS nt, $termScores
+       |  FROM s GROUP BY docid HAVING count(*) = ${terms.length})
+       |SELECT agg.docid AS docId, round($scoreSum, 9) AS score
+       |FROM agg JOIN ndocs ON agg.docid = ndocs.docid
+       |ORDER BY $scoreSum DESC, docId LIMIT $k""".stripMargin
+  }
+
   /** Exact cosine top-5 for query vectors vec_id < 3 — the oracle for both
     * the brute-force ANN gate and the full-probe IVF gate.
     */
@@ -1443,6 +1543,43 @@ object SparkEntry {
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
     },
 
+    // dismax oracle for `DISMAX 0.3 (util_7 (def val) class^1.5)`: per-term
+    // scores as q_bm25_bool; clause scores c0/c1/c2 mirror the engine's
+    // child evaluation (AND pair sums in child order, boost is one IEEE
+    // multiply, NULL = unmatched); the dismax mix is EXACTLY the engine's
+    // `max + (sum − max)·tie` with max = greatest (NULLs ignored) and
+    // sum = the coalesced left fold (adding the identity 0.0 for an
+    // unmatched clause is bit-exact for finite positive scores)
+    "q_bm25_dismax" -> {
+      val terms = Seq("util_7", "def", "val", "class")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      val clauses = Seq(
+        "s_util_7 AS c0",
+        "CASE WHEN s_def IS NOT NULL AND s_val IS NOT NULL THEN s_def + s_val END AS c1",
+        "s_class * CAST(1.5 AS DOUBLE) AS c2").mkString(",\n  ")
+      val mix = "greatest(c0, c1, c2) + " +
+        "((COALESCE(c0, 0.0) + COALESCE(c1, 0.0) + COALESCE(c2, 0.0)) - " +
+        "greatest(c0, c1, c2)) * CAST(0.3 AS DOUBLE)"
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid),
+         |cl AS (SELECT docid, $clauses FROM agg)
+         |SELECT docid AS docId, round($mix, 9) AS score FROM cl
+         |WHERE c0 IS NOT NULL OR c1 IS NOT NULL OR c2 IS NOT NULL
+         |ORDER BY $mix DESC, docId LIMIT 10""".stripMargin
+    },
+
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
 
     // did-you-mean oracle: per query token, the nearest dictionary term by
@@ -1658,6 +1795,29 @@ object SparkEntry {
          |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
     },
 
+    // wildcard = the regex oracle over the glob's translation (the SAME
+    // translation the engine used — WildcardRegex comes from globToRegex,
+    // so a translator bug cannot hide): anchored full-term match, df desc /
+    // term asc / LIMIT 64 expansion, ascending-term left-fold scoring
+    "q_bm25_wildcard" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |expansion AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE regexp_full_match(tok, '$WildcardRegex') GROUP BY 1
+         |  ORDER BY count(*) DESC, tok LIMIT 64),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
     // prefix expansion reproduced in SQL (same rule: df desc, term asc,
     // LIMIT 64), then OR-mode BM25 where each doc's term scores are
     // left-folded in ascending-term order via list_reduce — the same
@@ -1727,6 +1887,29 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY lang""".stripMargin
     },
 
+    // range-facet oracle: same conjunctive match set as q_facet_counts,
+    // bucket = number of boundaries ≤ dlen (the engine's comparison chain),
+    // lo/hi looked up per bucket (NULL on the unbounded ends)
+    "q_facet_ranges" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val bs = Seq(250.0, 300.0, 350.0)
+      val bucket = bs.map(b => s"(CASE WHEN dl.dlen >= $b THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val lo = bs.zipWithIndex.map { case (b, i) =>
+        s"WHEN ${i + 1} THEN CAST($b AS DOUBLE)" }.mkString(" ")
+      val hi = bs.zipWithIndex.map { case (b, i) =>
+        s"WHEN $i THEN CAST($b AS DOUBLE)" }.mkString(" ")
+      s"""WITH $corpusCte,
+         |m AS (SELECT docid FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY docid HAVING count(*) = ${terms.length}),
+         |j AS (SELECT ($bucket) AS bucket
+         |  FROM m JOIN dl ON m.docid = dl.docid)
+         |SELECT bucket, CASE bucket $lo END AS lo, CASE bucket $hi END AS hi,
+         |  count(*) AS n
+         |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
+
     "q_bm25_filtered" -> {
       val terms = Bm25Query.split(" ").distinct.sorted
       val (k1, b) = (1.2, 0.75)
@@ -1754,6 +1937,7 @@ object SparkEntry {
     "q_bm25_phrase" -> phraseOracleSql(PhraseQuery, 10),
 
     "q_bm25_near" -> nearOracleSql(NearQuery, NearWindow, 10),
+    "q_bm25_near_ordered" -> nearOrderedOracleSql(NearQuery, NearOrderedWindow, 10),
 
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
 

@@ -209,6 +209,42 @@ object OracleBm25 {
       restrictTo = Some(nearDocs))
   }
 
+  /** Ordered-proximity oracle (inOrder SpanNear): a doc matches when SOME
+    * strictly-increasing position chain follows the query's token order
+    * (duplicates meaningful) inside a span ≤ window. Existence is checked
+    * by a literal join chain over the per-slot occurrence tables — any
+    * chain, not the engine's greedy one, which is equivalent for
+    * existence. Survivors score plain conjunctive BM25, identically to
+    * [[topKNear]].
+    */
+  def topKNearOrdered(files: DataFrame, query: String, window: Int, k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val seq = Tokenize.tokenize(query)
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (seq.isEmpty || window < seq.length) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val occ = withId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+      .filter($"term".isin(seq.distinct: _*))
+    var chain = occ.filter($"term" === seq.head)
+      .select($"docId", $"ord".as("ord0"))
+    for (i <- 1 until seq.length) {
+      val oi = occ.filter($"term" === seq(i))
+        .select($"docId".as(s"d$i"), $"ord".as(s"ord$i"))
+      chain = chain.join(oi,
+        chain("docId") === oi(s"d$i") && col(s"ord$i") > col(s"ord${i - 1}"))
+        .drop(s"d$i")
+    }
+    val nearDocs = chain
+      .filter(col(s"ord${seq.length - 1}") - $"ord0" + 1 <= window)
+      .select("docId").distinct()
+    topKImpl(files, query, k, k1, b, conjunctive = true,
+      restrictTo = Some(nearDocs))
+  }
+
   /** Top-k for a boolean tree (AND/OR/NOT nesting): per-term BM25 scores
     * are computed with the same DataFrame ops as [[topK]]; the match test
     * and clause-sum score then reuse the ENGINE's own tree walker

@@ -49,6 +49,24 @@ object BoolQ {
     * Nested boosts compose multiplicatively by recursion.
     */
   final case class Boost(x: BoolQ, f: Double) extends BoolQ
+
+  /** Disjunction-max (Lucene DisjunctionMaxQuery): matches when ANY child
+    * matches; the score is `max + tie·(sum − max)` over the MATCHED
+    * children's scores, where `sum` is the left-to-right fold in child
+    * order and `max` the running maximum — exactly Lucene's
+    * DisjunctionMaxScorer accounting, so `tie = 0` is pure best-clause
+    * (the classic multi-field use case: don't double-count a term that
+    * hits several fields/variants) and `tie = 1` degenerates to this
+    * engine's OR (disjunction-sum). Surface syntax:
+    * `DISMAX tie? ( clause clause … )` — whitespace inside the DISMAX
+    * parens separates CLAUSES (each a unary atom, parenthesize compound
+    * ones), unlike ordinary parens where juxtaposition means AND.
+    */
+  final case class DisMax(xs: Vector[BoolQ], tie: Double) extends BoolQ {
+    require(xs.nonEmpty, "DISMAX needs at least one clause")
+    require(tie >= 0.0 && tie <= 1.0 && !tie.isNaN,
+      s"DISMAX tie must be in [0,1], got $tie")
+  }
 }
 
 object BoolQuery {
@@ -63,6 +81,7 @@ object BoolQuery {
   private case object KwOr extends Tok
   private case object KwAnd extends Tok
   private case object KwNot extends Tok
+  private case object KwDismax extends Tok
   private final case class Word(w: String) extends Tok
   private final case class Caret(f: Double) extends Tok
 
@@ -98,6 +117,7 @@ object BoolQuery {
           case "OR" => out += KwOr
           case "AND" => out += KwAnd
           case "NOT" => out += KwNot
+          case "DISMAX" => out += KwDismax
           case w => out += Word(w)
         }
       }
@@ -137,7 +157,8 @@ object BoolQuery {
       var more = true
       while (more) peek match {
         case Some(KwAnd) => next(); parts += unary()
-        case Some(LParen) | Some(Minus) | Some(KwNot) | Some(Word(_)) =>
+        case Some(LParen) | Some(Minus) | Some(KwNot) | Some(KwDismax) |
+             Some(Word(_)) =>
           parts += unary()
         case _ => more = false
       }
@@ -164,6 +185,38 @@ object BoolQuery {
           require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
           if (ts.length == 1) Term(ts.head)
           else And(ts.map(Term(_)).toVector)
+        case KwDismax =>
+          // DISMAX tie? ( clause clause … ): the optional tie is a bare
+          // number word; inside the parens each unary atom is ONE clause
+          // (parenthesize compounds: `DISMAX 0.3 (util_7 (def val))` is a
+          // 2-clause dismax of a term and an AND pair)
+          val tie = peek match {
+            case Some(Word(w)) if w.nonEmpty &&
+                w.forall(c => c.isDigit || c == '.') =>
+              next()
+              try w.toDouble catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"DISMAX tie '$w' is not a number in '$query'")
+              }
+            case _ => 0.0
+          }
+          next() match {
+            case LParen => ()
+            case t => throw new IllegalArgumentException(
+              s"expected '(' after DISMAX, got '$t' in '$query'")
+          }
+          val kids = Vector.newBuilder[BoolQ]
+          var open = true
+          while (open) peek match {
+            case Some(RParen) => next(); open = false
+            case Some(_) => kids += unary()
+            case None => throw new IllegalArgumentException(
+              s"unbalanced '(' after DISMAX in '$query'")
+          }
+          val xs = kids.result()
+          require(xs.nonEmpty, s"empty DISMAX group in '$query'")
+          DisMax(xs, tie)
         case t => throw new IllegalArgumentException(
           s"unexpected '$t' in boolean query: '$query'")
       }
@@ -198,6 +251,7 @@ object BoolQuery {
       case Or(xs) => xs.iterator.flatMap(walk)
       case Not(x) => walk(x)
       case Boost(x, _) => walk(x)
+      case DisMax(xs, _) => xs.iterator.flatMap(walk)
     }
     walk(q).toVector.distinct.sorted
   }
@@ -215,6 +269,7 @@ object BoolQuery {
     case Or(xs) => xs.exists(matches(_, has))
     case Not(x) => !matches(x, has)
     case Boost(x, _) => matches(x, has)
+    case DisMax(xs, _) => xs.exists(matches(_, has))
   }
 
   /** OPTIMISTIC satisfiability: can the tree possibly match when term `t`
@@ -230,6 +285,7 @@ object BoolQuery {
     case Or(xs) => xs.exists(satisfiable(_, mayHave))
     case Not(_) => true
     case Boost(x, _) => satisfiable(x, mayHave)
+    case DisMax(xs, _) => xs.exists(satisfiable(_, mayHave))
   }
 
   /** Terms REQUIRED in every matching document: the positive direct Term
@@ -260,6 +316,7 @@ object BoolQuery {
       case Or(xs) => xs.iterator.flatMap(walk(_, neg))
       case Not(x) => walk(x, !neg)
       case Boost(x, _) => walk(x, neg)
+      case DisMax(xs, _) => xs.iterator.flatMap(walk(_, neg))
     }
     walk(q, neg = false).toSet
   }
@@ -289,6 +346,23 @@ object BoolQuery {
       s
     case Not(_) => 0.0
     case Boost(x, f) => upperBound(x, leafUb) * f
+    case DisMax(xs, tie) =>
+      // actual = (1−tie)·max_matched + tie·sum_matched (the Lucene formula
+      // rewritten); max_matched ≤ maxU and sum_matched ≤ sumU (children's
+      // bounds are ≥ 0 and unmatched children contribute nothing), both
+      // mixing coefficients are ≥ 0 — so this mix is admissible. The
+      // tie-endpoint special cases avoid 0·∞ = NaN when pruning is off
+      // (every leaf bound +∞).
+      var maxU = 0.0; var sumU = 0.0; var i = 0
+      while (i < xs.length) {
+        val u = upperBound(xs(i), leafUb)
+        if (u > maxU) maxU = u
+        sumU += u
+        i += 1
+      }
+      if (tie == 0.0) maxU
+      else if (tie == 1.0) sumU
+      else (1.0 - tie) * maxU + tie * sumU
   }
 
   /** Evaluate match + score for one document. `score(t)` must only be
@@ -325,5 +399,20 @@ object BoolQuery {
     case Boost(x, f) =>
       val c = evalScore(x, has, score)
       if (c.isNaN) Double.NaN else c * f
+    case DisMax(xs, tie) =>
+      // Lucene DisjunctionMaxScorer accounting: running left-to-right sum
+      // and max over the matched children, then max + (sum − max)·tie —
+      // the exact expression the SQL oracle mirrors (greatest + coalesced
+      // left-fold sum), so Doubles stay bit-identical
+      var sum = 0.0
+      var mx = Double.NegativeInfinity
+      var any = false
+      var i = 0
+      while (i < xs.length) {
+        val c = evalScore(xs(i), has, score)
+        if (!c.isNaN) { any = true; sum += c; if (c > mx) mx = c }
+        i += 1
+      }
+      if (any) mx + (sum - mx) * tie else Double.NaN
   }
 }

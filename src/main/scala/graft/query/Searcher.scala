@@ -427,10 +427,23 @@ class Searcher(spark: SparkSession, indexDir: String,
     * `window` degenerates to `search`, `window < #distinct terms` is
     * unsatisfiable, and a single-term query matches wherever the term does.
     * Requires a positional index (`IndexConfig(positions = true)`).
+    *
+    * `ordered = true` is Lucene's `inOrder` SpanNearQuery: the occurrence
+    * chain must follow the QUERY's token order (duplicates meaningful —
+    * `a b a` needs three strictly increasing positions), checked by a
+    * greedy monotone-cursor chain sweep in O(total positions) per
+    * candidate; the span rule (max − min + 1 ≤ window) and the survivor
+    * scoring contract are unchanged, so `ordered` with window = #tokens
+    * is EXACTLY the phrase query (a strictly increasing chain of m
+    * positions inside a span of m is consecutive). Unsatisfiable when
+    * `window < #query tokens` (slots, not distinct terms).
     */
-  def searchNear(query: String, k: Int, window: Int): Dataset[Hit] = {
-    val terms = Tokenize.tokenize(query).distinct.sorted
-    if (terms.isEmpty || window < terms.length) return spark.emptyDataset[Hit]
+  def searchNear(query: String, k: Int, window: Int,
+                 ordered: Boolean = false): Dataset[Hit] = {
+    val seq = Tokenize.tokenize(query)
+    val terms = seq.distinct.sorted
+    if (terms.isEmpty || window < (if (ordered) seq.length else terms.length))
+      return spark.emptyDataset[Hit]
     require(postings.columns.contains("posBytes"),
       "proximity search requires a positional index (IndexConfig(positions = true))")
     val info = lookupTerms(terms)
@@ -447,6 +460,10 @@ class Searcher(spark: SparkSession, indexDir: String,
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (termsB, winB) = (terms, window)
+    // ordered mode: the query's token slots as indices into termsB — the
+    // kernel's list array is termsB-ordered, duplicates keep their own slot
+    val slotsB: Array[Int] =
+      if (ordered) seq.map(t => termsB.indexOf(t)).toArray else null
     val (accT, accS) = (shardsTouched, candidatesScored)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -459,7 +476,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShardNear(segsByTerm, Searcher.mergeLens(lenIt),
-            termsB, winB, idfByTerm, k1, b, avgdl, k, accS, deleted)
+            termsB, winB, idfByTerm, k1, b, avgdl, k, accS, deleted, slotsB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -614,6 +631,32 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (expanded.isEmpty) spark.emptyDataset[Hit]
     else searchOrTerms(expanded.sorted, k)
   }
+
+  /** Wildcard term query (Lucene WildcardQuery analog): `?` matches
+    * exactly one character, `*` any run (including empty), every other
+    * character is literal — lowercased so `Util_1?` and `util_1?` expand
+    * identically (terms are tokenizer-normalized). Rewritten to the
+    * anchored-regex expansion ([[Searcher.globToRegex]] escapes regex
+    * metacharacters and maps the wildcards), so the whole machinery is
+    * shared with [[searchRegex]]: the literal prefix before the first
+    * wildcard pushes down as a `startsWith` range filter on the dict scan,
+    * the expansion is capped at the `maxExpand` highest-df matches
+    * (df desc, term asc — deterministic, oracle-reproducible), and scoring
+    * rides the WAND-pruned OR kernel. A glob with no wildcard degenerates
+    * to an exact-term query.
+    */
+  def searchWildcard(glob: String, k: Int, maxExpand: Int = 64): Dataset[Hit] = {
+    val expanded = expandWildcard(glob, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else searchOrTerms(expanded.sorted, k)
+  }
+
+  /** The dictionary expansion of a wildcard glob: anchored full-term
+    * matches of the translated regex, ordered (df desc, term asc), capped
+    * at `maxExpand`.
+    */
+  def expandWildcard(glob: String, maxExpand: Int = 64): Seq[String] =
+    expandRegex(Searcher.globToRegex(glob), maxExpand)
 
   /** The dictionary expansion of a regex: full-term matches ordered by
     * (df desc, term asc), capped at `maxExpand`.
@@ -915,6 +958,38 @@ class Searcher(spark: SparkSession, indexDir: String,
       .groupBy(facetCol).agg(count(lit(1)).as("n"))
       .orderBy(facetCol)
 
+  /** Numeric range facets over the FULL conjunctive match set (the
+    * Lucene/Solr range-faceting panel): matching-doc counts per half-open
+    * bucket of a numeric docs-table column. `bounds` (strictly ascending)
+    * cut the line into `bounds.size + 1` buckets — bucket 0 is
+    * `(-∞, b0)`, bucket i is `[b(i-1), b(i))`, the last is `[bLast, ∞)` —
+    * and empty buckets are simply absent (count queries, not histograms
+    * with zero-fill). Same distributed shape as [[searchFacets]]: the
+    * match set joins the docs table once, the bucket id is a codegen'd
+    * sum of comparisons (no UDF), one hash aggregation. Returns
+    * (bucket, lo, hi, n) with NULL lo/hi on the unbounded ends.
+    */
+  def searchFacetRanges(query: String, facetCol: String,
+                        bounds: Seq[Double]): DataFrame = {
+    require(bounds.nonEmpty, "range facets need at least one boundary")
+    require(bounds.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"bounds must be strictly ascending, got $bounds")
+    val v = col(facetCol).cast("double")
+    // bucket = number of boundaries ≤ value — one branch-free comparison
+    // chain, stays inside whole-stage codegen
+    val bucketExpr = bounds.map(bd => when(v >= lit(bd), 1).otherwise(0))
+      .reduce(_ + _)
+    val lows = typedLit(None +: bounds.map(Option(_)))
+    val highs = typedLit(bounds.map(Option(_)) :+ None)
+    matchingDocs(query)
+      .join(docs, "docId")
+      .groupBy(bucketExpr.as("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("lo", element_at(lows, $"bucket" + 1))
+      .withColumn("hi", element_at(highs, $"bucket" + 1))
+      .select($"bucket", $"lo", $"hi", $"n")
+      .orderBy($"bucket")
+  }
+
   /** Disjunctive scoring over an explicit, sorted term set. */
   private def searchOrTerms(terms: Seq[String], k: Int): Dataset[Hit] = {
     if (terms.isEmpty) return spark.emptyDataset[Hit]
@@ -1052,6 +1127,27 @@ object Searcher {
     * push a startsWith range filter into the dict scan; "" (no pushdown)
     * is always safe.
     */
+  /** Glob → anchored-regex body for wildcard queries: `*` → `.*`, `?` →
+    * `.`, everything else a literal (lowercased to match the tokenizer's
+    * normalization; regex metacharacters backslash-escaped). The leading
+    * literal run survives as ordinary token chars, so [[literalPrefix]]
+    * extracts the dict-scan pushdown prefix from the translation unchanged
+    * — `util_1?` → `util_1.` → pushdown prefix `util_1`.
+    */
+  private[graft] def globToRegex(glob: String): String = {
+    require(glob.nonEmpty, "empty wildcard pattern")
+    val sb = new StringBuilder
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c =>
+        val lc = Character.toLowerCase(c)
+        if (!lc.isLetterOrDigit && lc != '_') sb.append('\\')
+        sb.append(lc)
+    }
+    sb.toString
+  }
+
   private[graft] def literalPrefix(pattern: String): String = {
     // soundness pre-scan: any top-level alternation voids the prefix
     var depth = 0
@@ -1389,7 +1485,8 @@ object Searcher {
                      idfByTerm: Map[String, Double],
                      k1: Double, b: Double, avgdl: Double, k: Int,
                      accScored: LongAccumulator = null,
-                     deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                     deleted: Array[Long] = Array.emptyLongArray,
+                     orderedSlots: Array[Int] = null): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     var scored = 0L
     val lists: Array[PosList] =
@@ -1418,13 +1515,50 @@ object Searcher {
       if (ok) {
         scored += 1
         lead.pos = li
+        var fits = false
+        if (orderedSlots != null) {
+          // ordered (inOrder SpanNear) chain sweep: per query SLOT a cursor
+          // into its term's positions for this doc (duplicate terms get
+          // independent cursors); starts iterate slot 0's positions
+          // ascending, later slots greedily take the first position > the
+          // previous slot's — cursors are monotone across starts (each
+          // start's chain values dominate the previous start's), so the
+          // whole doc costs O(total positions). A later slot exhausting
+          // ends the doc: no larger start can complete a chain either.
+          val m = orderedSlots.length
+          val sp = new Array[Int](m)
+          val se = new Array[Int](m)
+          var s0 = 0
+          while (s0 < m) {
+            val ls = lists(orderedSlots(s0))
+            sp(s0) = ls.off(ls.pos); se(s0) = ls.off(ls.pos + 1)
+            s0 += 1
+          }
+          val lead0 = lists(orderedSlots(0))
+          var go = true
+          while (go && !fits) {
+            if (sp(0) >= se(0)) go = false
+            else {
+              val start = lead0.flat(sp(0))
+              var prev = start
+              var s = 1
+              while (go && s < m) {
+                val ls = lists(orderedSlots(s))
+                while (sp(s) < se(s) && ls.flat(sp(s)) <= prev) sp(s) += 1
+                if (sp(s) >= se(s)) go = false
+                else { prev = ls.flat(sp(s)); s += 1 }
+              }
+              if (go && s == m && prev - start + 1 <= window) fits = true
+              sp(0) += 1
+            }
+          }
+        } else {
         var i = 0
         while (i < n) {
           ptr(i) = lists(i).off(lists(i).pos)
           end(i) = lists(i).off(lists(i).pos + 1)
           i += 1
         }
-        var fits = false
         var go = true
         while (go && !fits) {
           var mn = Int.MaxValue
@@ -1441,10 +1575,11 @@ object Searcher {
           ptr(mnIdx) += 1
           if (ptr(mnIdx) >= end(mnIdx)) go = false
         }
+        }
         if (fits) {
           var score = 0.0
           val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
-          i = 0
+          var i = 0
           while (i < n) { // term-sorted → deterministic sum order
             val l = lists(i)
             val tf = l.tfs(l.pos).toDouble

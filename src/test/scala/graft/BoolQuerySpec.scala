@@ -195,6 +195,132 @@ class BoolQuerySpec extends AnyFunSuite {
       s"hot boolean trees pruned nothing (scored=${s.candidatesScored.value})")
   }
 
+  test("dismax: parser shape, tie validation") {
+    assert(BoolQuery.parse("DISMAX 0.3 (a b)") ==
+      DisMax(Vector(Term("a"), Term("b")), 0.3))
+    // no tie → pure best-clause (0.0); clause whitespace separates CLAUSES,
+    // unlike ordinary parens where juxtaposition = AND
+    assert(BoolQuery.parse("DISMAX (a b)") ==
+      DisMax(Vector(Term("a"), Term("b")), 0.0))
+    assert(BoolQuery.parse("(a b)") == And(Vector(Term("a"), Term("b"))))
+    // compound clauses parenthesize; boosts bind inside and after
+    assert(BoolQuery.parse("DISMAX 0.5 ((a b) c^2)") ==
+      DisMax(Vector(And(Vector(Term("a"), Term("b"))),
+        Boost(Term("c"), 2.0)), 0.5))
+    assert(BoolQuery.parse("DISMAX 0.5 (a b)^2") ==
+      Boost(DisMax(Vector(Term("a"), Term("b")), 0.5), 2.0))
+    // dismax composes under AND/OR like any atom
+    assert(BoolQuery.parse("x DISMAX (a b)") ==
+      And(Vector(Term("x"), DisMax(Vector(Term("a"), Term("b")), 0.0))))
+    // lowercase 'dismax' stays an ordinary term
+    assert(BoolQuery.parse("dismax") == Term("dismax"))
+    // errors: tie out of [0,1], empty group, missing parens
+    intercept[IllegalArgumentException](BoolQuery.parse("DISMAX 1.5 (a b)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("DISMAX 0.3 ()"))
+    intercept[IllegalArgumentException](BoolQuery.parse("DISMAX 0.3 a b"))
+    intercept[IllegalArgumentException](BoolQuery.parse("DISMAX 0.3 (a b"))
+  }
+
+  test("dismax: degenerate identities against the flat kernels") {
+    // tie = 1 degenerates to disjunction-sum — bit-identical to searchOr
+    val viaDismax = got("DISMAX 1.0 (util_7 def)")
+    val viaOr = searcher.searchOr("util_7 def", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(viaDismax == viaOr)
+    // a single clause scores the clause itself, for ANY tie
+    val single = got("DISMAX 0.3 (util_7)")
+    val plain = searcher.search("util_7", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(single == plain)
+    // tie = 0 with a duplicated clause is max, not sum: still the plain score
+    assert(got("DISMAX (util_7 util_7)") == plain)
+  }
+
+  test("dismax: rank identity vs oracle, dead clauses drop out") {
+    for (q <- Seq(
+        "DISMAX 0.3 (util_7 (def val) class^1.5)", // the driver gate's tree
+        "DISMAX (import def)",                     // hot best-clause
+        "DISMAX 0.7 ((util_1 val) (util_2 def))",
+        "import DISMAX 0.2 (def val)",             // dismax under AND
+        "DISMAX 0.3 (util_7 zzqx_nothing)")) {     // dead clause no-ops
+      val g = got(q)
+      val w = want(BoolQuery.parse(q))
+      assert(g == w, s"query '$q'")
+      assert(g.nonEmpty, s"vacuous gate for '$q'")
+    }
+  }
+
+  test("dismax: randomized trees vs oracle (incl. nesting under AND/OR/NOT)") {
+    val vocab = Vector("import", "def", "val", "util_1", "util_2", "util_3",
+      "util_7", "class", "object", "match")
+    val ties = Vector(0.0, 0.3, 1.0)
+    val rnd = new scala.util.Random(7)
+    def gen(depth: Int): BoolQ =
+      if (depth == 0) Term(vocab(rnd.nextInt(vocab.length)))
+      else rnd.nextInt(5) match {
+        case 0 => Term(vocab(rnd.nextInt(vocab.length)))
+        case 1 => And(Vector.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 2 => Or(Vector.fill(2 + rnd.nextInt(2))(gen(depth - 1)))
+        case 3 => Not(gen(depth - 1))
+        case 4 => DisMax(Vector.fill(2 + rnd.nextInt(2))(gen(depth - 1)),
+          ties(rnd.nextInt(ties.length)))
+      }
+    var tested = 0
+    var it = 0
+    while (tested < 10 && it < 200) {
+      it += 1
+      val tree = gen(3)
+      val hasDismax = {
+        def f(q: BoolQ): Boolean = q match {
+          case DisMax(_, _) => true
+          case And(xs) => xs.exists(f)
+          case Or(xs) => xs.exists(f)
+          case Not(x) => f(x)
+          case Boost(x, _) => f(x)
+          case Term(_) => false
+        }
+        f(tree)
+      }
+      if (hasDismax && !BoolQuery.matchesEmptyDoc(tree)) {
+        tested += 1
+        val g = searcher.searchBoolTree(tree, 10).collect()
+          .map(h => (h.docId, h.score)).toSeq
+        assert(g == want(tree), s"tree $tree")
+      }
+    }
+    assert(tested == 10)
+  }
+
+  test("dismax: WAND skipping fires with ranks exact (best-field pruning)") {
+    // the best-field case pruning exists for: a rare high-idf clause
+    // (util_7) next to a very hot low-idf one (import) at tie = 0 — θ
+    // fills with util_7-grade scores, the hot clause's ceiling
+    // ((1−tie)·maxU mix = max over clause ceilings) sinks below θ, and the
+    // WAND pivot skips the import-only docs WHOLESALE (they are never
+    // evaluated, so the evidence is candidatesScored ≪ the match count,
+    // not the tier-3 pruned counter — pivot skips bypass tier 3 entirely)
+    val s = new Searcher(spark, indexDir)
+    val tree = BoolQuery.parse("DISMAX (util_7 import)")
+    val g = s.searchBoolTree(tree, 3).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(g == want(tree, 3))
+    assert(g.nonEmpty)
+    val matchCount = want(tree, Int.MaxValue).length // ≈ every doc (import is hot)
+    assert(s.candidatesScored.value < matchCount / 4,
+      s"scored=${s.candidatesScored.value} of $matchCount matches — " +
+        "the hot clause was walked, not skipped")
+    // hot symmetric clauses: ranks stay bit-exact through the pruning path
+    val s2 = new Searcher(spark, indexDir)
+    for (q <- Seq("DISMAX 0.1 (import def val)",
+        "DISMAX 0.5 ((import def) (val class))")) {
+      val t2 = BoolQuery.parse(q)
+      val g2 = s2.searchBoolTree(t2, 5).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(g2 == want(t2, 5), s"query '$q'")
+      assert(g2.nonEmpty, s"vacuous pruning gate for '$q'")
+    }
+  }
+
   test("shard pruning is the tree's satisfiability algebra") {
     // a conjunctive root intersects required shard sets: rare terms touch
     // few shards, so the AND of two rare terms must touch no more shards

@@ -100,6 +100,64 @@ class PhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("ordered proximity (inOrder SpanNear) is rank-identical to the chain oracle") {
+    val s = new Searcher(spark, posIndex)
+    def got(ds: org.apache.spark.sql.Dataset[Hit]) =
+      ds.collect().map(h => (h.docId, h.score))
+    for ((q, w) <- Seq(("import util_7", 6), ("util_7 import", 6),
+                       ("import def util_7", 9), ("import def", 2))) {
+      val g = got(s.searchNear(q, 10, w, ordered = true))
+      val o = OracleBm25.topKNearOrdered(files, q, w, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(g.toSeq == o.toSeq, s"query '$q' ordered NEAR/$w")
+      // survivor scores bit-identical to the plain conjunctive query
+      val plain = got(s.search(q, 100000)).toMap
+      assert(g.forall { case (d, sc) => plain(d) == sc }, s"'$q' scores")
+    }
+  }
+
+  test("ordered proximity semantics: subset of unordered, order-sensitive, phrase identity") {
+    val s = new Searcher(spark, posIndex)
+    // ordered ⊆ unordered at the same window, and strictly selective here
+    val w = 6
+    val ord = s.searchNear("import util_7", 100000, w, ordered = true)
+      .collect().map(_.docId).toSet
+    val unord = s.searchNear("import util_7", 100000, w)
+      .collect().map(_.docId).toSet
+    assert(ord.subsetOf(unord))
+    assert(ord.nonEmpty && ord.size < unord.size,
+      s"order not selective: ${ord.size} of ${unord.size}")
+    // asymmetric: the reversed query matches a different doc set
+    val rev = s.searchNear("util_7 import", 100000, w, ordered = true)
+      .collect().map(_.docId).toSet
+    assert(rev != ord)
+    assert((ord ++ rev) == unord, // a ≤-w cover contains an ordered chain one way or the other
+      "ordered-both-ways must tile the unordered match set for 2 terms")
+    // window = #tokens forces consecutive positions = the phrase query
+    val asPhrase = s.searchNear("import def", 10, 2, ordered = true)
+      .collect().map(h => (h.docId, h.score)).toSeq
+    val phrase = s.searchPhrase("import def", 10)
+      .collect().map(h => (h.docId, h.score)).toSeq
+    assert(asPhrase == phrase)
+    // duplicate slots need distinct positions: `import import` within 2
+    // means two adjacent imports — equals the repeated-token phrase
+    val dupNear = s.searchNear("import import", 10, 2, ordered = true)
+      .collect().map(h => (h.docId, h.score)).toSeq
+    val dupPhrase = s.searchPhrase("import import", 10)
+      .collect().map(h => (h.docId, h.score)).toSeq
+    assert(dupNear == dupPhrase)
+    // window < #slots unsatisfiable even though #distinct terms fits
+    assert(s.searchNear("import import", 10, 1, ordered = true).collect().isEmpty)
+    // huge window: ordered 2-term still requires an import BEFORE a util_7
+    val huge = got2(s.searchNear("import util_7", 10, 1000000, ordered = true))
+    val oHuge = OracleBm25.topKNearOrdered(files, "import util_7", 1000000, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(huge.toSeq == oHuge.toSeq)
+  }
+
+  private def got2(ds: org.apache.spark.sql.Dataset[Hit]) =
+    ds.collect().map(h => (h.docId, h.score))
+
   test("proximity search degenerate windows") {
     val s = new Searcher(spark, posIndex)
     def got(ds: org.apache.spark.sql.Dataset[Hit]) =

@@ -107,6 +107,63 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("wildcard search: glob translation + expansion + OR scoring") {
+    import graft.query.Searcher.globToRegex
+    // translation units: wildcards map, literals lowercase, metachars escape
+    assert(globToRegex("util_1?") == "util_1.")
+    assert(globToRegex("ut*l_1*") == "ut.*l_1.*")
+    assert(globToRegex("UTIL_7") == "util_7")
+    assert(globToRegex("a.b*") == "a\\.b.*") // '.' is LITERAL in a glob
+    intercept[IllegalArgumentException] { globToRegex("") }
+    // ? = exactly one char: util_1? matches util_10..19 but NOT util_1
+    val exp = searcher.expandWildcard("util_1?")
+    assert(exp.toSet == (10 to 19).map(i => s"util_$i").toSet,
+      s"expansion was $exp")
+    // wildcard ≡ regex over the translation, ranks identical to the oracle
+    val g = got(searcher.searchWildcard("util_1?", 10))
+    assert(g.toSeq == got(searcher.searchRegex("util_1.", 10)).toSeq)
+    assert(g.toSeq == oracleOr(exp.mkString(" "), 10).toSeq)
+    // * can match empty: util_7* includes util_7 itself
+    assert(searcher.expandWildcard("util_7*").contains("util_7"))
+    // no wildcard at all = exact-term query
+    assert(got(searcher.searchWildcard("util_7", 10)).toSeq ==
+      got(searcher.search("util_7", 10)).toSeq)
+    // case-insensitive literals; no-match glob → empty
+    assert(got(searcher.searchWildcard("UTIL_1?", 10)).toSeq == g.toSeq)
+    assert(searcher.searchWildcard("zzqx*", 5).isEmpty)
+  }
+
+  test("range facets: bucket counts match an independent derivation") {
+    import org.apache.spark.sql.functions.{col => c}
+    val q = "import def"
+    val bounds = Seq(250.0, 300.0, 350.0)
+    val got = searcher.searchFacetRanges(q, "dlen", bounds).collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+    // independent derivation: conjunctive match set from raw text + a
+    // driver-side bucket count over the docs table
+    val matches = searcher.searchDocs(q, Int.MaxValue)
+    val docsT = spark.read.parquet(s"$indexDir/docs.parquet")
+    val want = docsT.join(matches.select("docId"), "docId")
+      .select("dlen").as[Int].collect()
+      .groupBy(d => bounds.count(_ <= d))
+      .map { case (b, vs) => (b, vs.length.toLong) }
+    assert(got.map(g => (g._1, g._4)).toMap == want)
+    assert(got.map(_._4).sum == matches.count())
+    // half-open boundary semantics + NULL-ended lo/hi labels
+    got.foreach { case (b, lo, hi, _) =>
+      assert(lo == (if (b == 0) None else Some(bounds(b - 1))))
+      assert(hi == (if (b == bounds.length) None else Some(bounds(b))))
+    }
+    assert(got.nonEmpty && got.length > 1, "vacuous: all docs in one bucket")
+    // rejects unsorted / empty bounds
+    intercept[IllegalArgumentException] {
+      searcher.searchFacetRanges(q, "dlen", Seq(3.0, 2.0))
+    }
+    intercept[IllegalArgumentException] {
+      searcher.searchFacetRanges(q, "dlen", Seq.empty)
+    }
+  }
+
   test("regex literal-prefix pushdown extraction") {
     import graft.query.Searcher.literalPrefix
     assert(literalPrefix("util_1[0-9]") == "util_1")
