@@ -29,6 +29,7 @@ import graft.query.Searcher
   *          [--after N]      (cursor pagination: searchAfter past rank N)
   *          [--facet COL]    (facet counts over the full match set)
   *          [--facetRanges COL:B1,B2,..] (numeric range-bucket counts)
+  *          [--facetStats COL] (count/min/max/sum/mean over the match set)
   *          [--inOrder true] (with --near W: chain must follow query order)
   *          [--count true]   (total conjunctive hit count, no ranking)
   *          [--explain true] (per-term tf/df/idf/contribution for the top-k)
@@ -327,7 +328,8 @@ object Main {
             (if (fromRank > 0) "--from" else s"--${activeModes.head}"))
         // snippets/facets/explain/count internally use conjunctive (AND)
         // matching — reject mode flags they would silently ignore too
-        for (out <- Seq("snippets", "facet", "facetRanges", "explain", "count")
+        for (out <- Seq("snippets", "facet", "facetRanges", "facetStats",
+               "explain", "count")
                if opts.get(out).exists(v => v.nonEmpty && v != "false");
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -348,6 +350,16 @@ object Main {
           val ms = (System.nanoTime() - t0) / 1e6
           println(f"facets of '$q' by $fc in $ms%.0f ms")
           counts.foreach(r => println(f"  ${r.get(0)}%-12s ${r.getLong(1)}"))
+          spark.stop(); return
+        }
+        // --facetStats COL — exact count/min/max/sum + mean over the match set
+        opts.get("facetStats").foreach { fc =>
+          val t0 = System.nanoTime()
+          val r = searcher.searchFacetStats(q, fc).collect().head
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"stats facet of '$q' by $fc in $ms%.0f ms")
+          println(s"  n=${r.getLong(0)} min=${r.getLong(1)} max=${r.getLong(2)} " +
+            s"sum=${r.getLong(3)} mean=${r.getDouble(4)}")
           spark.stop(); return
         }
         // --facetRanges "dlen:250,300,350" — numeric bucket counts over the

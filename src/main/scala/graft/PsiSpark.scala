@@ -92,6 +92,10 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   def queryFacetRanges(q: String, facetCol: String, bounds: Seq[Double]) =
     searcher.searchFacetRanges(q, facetCol, bounds)
 
+  /** Stats facet (count/min/max/sum/mean) over the match set. */
+  def queryFacetStats(q: String, facetCol: String) =
+    searcher.searchFacetStats(q, facetCol)
+
   /** Top-k with ±window-token snippets from the given corpus table. */
   def querySnippets(q: String, k: Int, files: DataFrame, window: Int = 8) =
     searcher.searchSnippets(q, k, files, window)

@@ -389,6 +389,14 @@ object SparkEntry {
         .searchFacetRanges(Bm25Query, "dlen", Seq(250.0, 300.0, 350.0))
     }),
 
+    "q_facet_stats" -> ((s, dir) => {
+      // stats facet: exact count/min/max/sum + one-division mean of dlen
+      // over the conjunctive match set (order-independent accumulation)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchFacetStats(Bm25Query, "dlen")
+    }),
+
     "q_bm25_dismax" -> ((s, dir) => {
       // disjunction-max tree (Lucene DisjunctionMaxQuery): matches any of
       // {util_7, def AND val, class^1.5}; scores max + 0.3·(sum − max)
@@ -1885,6 +1893,20 @@ object SparkEntry {
          |  GROUP BY docid HAVING count(*) = ${terms.length})
          |SELECT d.lang, count(*) AS n FROM m JOIN docs d ON m.docid = d.docid
          |GROUP BY 1 ORDER BY lang""".stripMargin
+    },
+
+    // stats-facet oracle: exact integer aggregates over the match set's
+    // dlens + the same single terminal division for the mean
+    "q_facet_stats" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      s"""WITH $corpusCte,
+         |m AS (SELECT docid FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT count(*) AS n, min(dl.dlen) AS mn, max(dl.dlen) AS mx,
+         |  sum(dl.dlen) AS sm,
+         |  round(CAST(sum(dl.dlen) AS DOUBLE) / count(*), 9) AS mean
+         |FROM m JOIN dl ON m.docid = dl.docid""".stripMargin
     },
 
     // range-facet oracle: same conjunctive match set as q_facet_counts,

@@ -990,6 +990,23 @@ class Searcher(spark: SparkSession, indexDir: String,
       .orderBy($"bucket")
   }
 
+  /** Numeric stats facet over the FULL conjunctive match set (the Solr
+    * stats-component analog): count / min / max / sum / mean of an
+    * INTEGRAL numeric docs-table column. Accumulation is exact — the sum
+    * is a long, the mean one double division at the end — so results are
+    * order-independent and an oracle can hash-match them (a double-sum
+    * mean would depend on partition order). Same distributed shape as
+    * [[searchFacets]]: match set → one docs join → one aggregation.
+    */
+  def searchFacetStats(query: String, facetCol: String): DataFrame = {
+    val v = col(facetCol).cast("long")
+    matchingDocs(query)
+      .join(docs, "docId")
+      .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"),
+        sum(v).as("sm"))
+      .withColumn("mean", round($"sm".cast("double") / $"n", 9))
+  }
+
   /** Disjunctive scoring over an explicit, sorted term set. */
   private def searchOrTerms(terms: Seq[String], k: Int): Dataset[Hit] = {
     if (terms.isEmpty) return spark.emptyDataset[Hit]

@@ -164,6 +164,24 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("stats facet: exact aggregates match an independent derivation") {
+    val q = "import def"
+    val r = searcher.searchFacetStats(q, "dlen").collect().head
+    val matches = searcher.searchDocs(q, Int.MaxValue)
+    val dlens = spark.read.parquet(s"$indexDir/docs.parquet")
+      .join(matches.select("docId"), "docId")
+      .select("dlen").as[Int].collect().map(_.toLong)
+    assert(r.getLong(0) == dlens.length)
+    assert(r.getLong(1) == dlens.min)
+    assert(r.getLong(2) == dlens.max)
+    assert(r.getLong(3) == dlens.sum)
+    // mean is ONE double division of exact integers — order-independent
+    val mean = BigDecimal(dlens.sum.toDouble / dlens.length)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == mean)
+    assert(dlens.nonEmpty && dlens.min < dlens.max, "vacuous fixture")
+  }
+
   test("regex literal-prefix pushdown extraction") {
     import graft.query.Searcher.literalPrefix
     assert(literalPrefix("util_1[0-9]") == "util_1")
