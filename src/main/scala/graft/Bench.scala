@@ -748,6 +748,24 @@ object Bench {
         timed(searcher.moreLikeThis(corpus, 42L, 10).collect())._2
     }
 
+    // wildcard: glob → regex dict expansion + WAND OR (r5)
+    {
+      val wqs = Seq("util_4?", "ut?l_12*", "import*")
+      wqs.foreach(q => searcher.searchWildcard(q, 10).collect())
+      val lat = wqs.map(q => timed(searcher.searchWildcard(q, 10).collect())._2).sorted
+      qsecs("bm25_wildcard_p50") = pct(lat, 0.50)
+    }
+
+    // dismax trees: best-clause scoring, WAND skipping via the tie mix (r5)
+    {
+      val dqs = Seq("DISMAX (util_7 import)",
+        "DISMAX 0.3 (util_7 (def val) class^1.5)",
+        "DISMAX 0.5 ((import def) (val class))")
+      dqs.foreach(q => searcher.searchBool(q, 10).collect())
+      val lat = dqs.map(q => timed(searcher.searchBool(q, 10).collect())._2).sorted
+      qsecs("bm25_dismax_p50") = pct(lat, 0.50)
+    }
+
     // proximity (NEAR/w) latency rides the positional index below
 
     // facet counts over the full conjunctive match set
@@ -755,6 +773,16 @@ object Bench {
       searcher.searchFacets("import def util_7", "lang").collect()
       qsecs("facet_counts") =
         timed(searcher.searchFacets("import def util_7", "lang").collect())._2
+    }
+
+    // range + stats facets: codegen'd bucket chain / exact aggregates (r5)
+    {
+      searcher.searchFacetRanges("import def", "dlen", Seq(250.0, 300.0, 350.0)).collect()
+      qsecs("facet_ranges") = timed(
+        searcher.searchFacetRanges("import def", "dlen", Seq(250.0, 300.0, 350.0)).collect())._2
+      searcher.searchFacetStats("import def", "dlen").collect()
+      qsecs("facet_stats") = timed(
+        searcher.searchFacetStats("import def", "dlen").collect())._2
     }
 
     // tombstoned query: 1% of docs deleted, AND query through the per-shard
@@ -796,6 +824,16 @@ object Bench {
         timed(phraseSearcher.searchNear(q, 10, w).collect())._2 }.sorted
       qsecs("bm25_near_p50") = pct(lat, 0.50)
       qsecs("bm25_near_p95") = pct(lat, 0.95)
+    }
+    // ordered proximity: the inOrder chain sweep over the same pairs (r5)
+    locally {
+      val nears = Seq(("import util_7", 6), ("import def util_7", 10),
+        ("def class val", 12), ("import util_3", 4), ("val util_7", 8))
+      nears.foreach { case (q, w) =>
+        phraseSearcher.searchNear(q, 10, w, ordered = true).collect() }
+      val lat = nears.map { case (q, w) =>
+        timed(phraseSearcher.searchNear(q, 10, w, ordered = true).collect())._2 }.sorted
+      qsecs("bm25_near_ordered_p50") = pct(lat, 0.50)
     }
 
     // headline table operators at sfDir
