@@ -22,7 +22,8 @@ import graft.query.Searcher
   *          [--regex true]   (anchored regex term query: dict-expand, OR-score)
   *          [--wildcard true] (glob term query `util_1?`/`ut*l`: ? = one char,
   *                            * = any run; dict-expand via regex, OR-score)
-  *          [--bool true]    (boolean tree: `(a b) OR (c -d)`, `term^2` boosts)
+  *          [--bool true]    (boolean tree: `(a b) OR (c -d)`, `term^2` boosts,
+  *                            DISMAX groups, quoted phrases `"a b" OR c`)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
   *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
   *          [--from N]       (offset pagination of the conjunctive ranking)

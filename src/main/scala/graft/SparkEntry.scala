@@ -57,6 +57,10 @@ object SparkEntry {
   // boosted term) under one tiebreaker — exercises match-any + the
   // max/sum mix the oracle mirrors with greatest() + a coalesced fold
   private val DismaxQuery = "DISMAX 0.3 (util_7 (def val) class^1.5)"
+  // phrase-in-boolean gate: a quoted exact-phrase leaf under OR, ANDed with
+  // a plain term — the Lucene classic-parser composition; adjacency routes
+  // the tree through the positional boolean kernel
+  private val BoolPhraseQuery = "(\"import def\" OR util_3) val"
   private val MltSeedDoc = 42L
   // one live term, one 1-edit misspelling, one hopeless token
   private val SuggestQuery = "def utyl_7 zzqxnothingxx"
@@ -395,6 +399,16 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchFacetStats(Bm25Query, "dlen")
+    }),
+
+    "q_bm25_bool_phrase" -> ((s, dir) => {
+      // boolean tree with an exact-phrase leaf: matches docs with val AND
+      // (the consecutive bigram "import def" OR util_3); a matched phrase
+      // scores the sum of its distinct members' BM25 contributions
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool(BoolPhraseQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
     "q_bm25_dismax" -> ((s, dir) => {
@@ -1549,6 +1563,48 @@ object SparkEntry {
          |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
          |WHERE s_util_7 IS NOT NULL AND (s_def IS NOT NULL OR s_val IS NULL)
          |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // phrase-in-boolean oracle for `("import def" OR util_3) val`: the
+    // phrase's doc set is an adjacency self-join over token ordinals
+    // (b.ord = a.ord + 1); per-term scores as the other bool gates; the
+    // clause sum mirrors the engine's depth-first order — the OR folds
+    // (phrase ? s_def + s_import : 0.0) + (util_3 ? s_util_3 : 0.0), the
+    // phrase summing its DISTINCT members in ascending-term order — then
+    // the root AND adds s_val
+    "q_bm25_bool_phrase" -> {
+      val terms = Seq("import", "def", "util_3", "val")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      s"""WITH $corpusCte,
+         |ptoks AS (
+         |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+         |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+         |  FROM docs),
+         |ph AS (SELECT DISTINCT a.docid FROM ptoks a
+         |  JOIN ptoks b ON b.docid = a.docid AND b.ord = a.ord + 1
+         |  WHERE a.tok = 'import' AND b.tok = 'def'),
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid),
+         |j AS (SELECT agg.*, ph.docid AS phd FROM agg LEFT JOIN ph ON agg.docid = ph.docid)
+         |SELECT j.docid AS docId,
+         |  round((CASE WHEN phd IS NOT NULL THEN s_def + s_import ELSE 0.0 END +
+         |    CASE WHEN s_util_3 IS NOT NULL THEN s_util_3 ELSE 0.0 END) + s_val, 9) AS score
+         |FROM j
+         |WHERE (phd IS NOT NULL OR s_util_3 IS NOT NULL) AND s_val IS NOT NULL
+         |ORDER BY (CASE WHEN phd IS NOT NULL THEN s_def + s_import ELSE 0.0 END +
+         |    CASE WHEN s_util_3 IS NOT NULL THEN s_util_3 ELSE 0.0 END) + s_val DESC, docId
+         |LIMIT 10""".stripMargin
     },
 
     // dismax oracle for `DISMAX 0.3 (util_7 (def val) class^1.5)`: per-term

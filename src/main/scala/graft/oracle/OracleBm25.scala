@@ -277,6 +277,22 @@ object OracleBm25 {
     val idfDf = broadcast(
       dfByTerm.keys.toSeq.sorted.map(t => (t, idf(numDocs, dfByTerm(t))))
         .toDF("term", "idf"))
+    // phrase leaves: the adjacency doc set per phrase, derived with the
+    // same chain-join as topKPhrase (independent of the engine's zipper)
+    val phraseDocs: Map[graft.query.BoolQ.Phrase, Set[Long]] =
+      BoolQuery.phraseLeaves(tree).map { p =>
+        val ptoks = withId.select($"docId",
+          posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+        var cand = ptoks.filter($"term" === p.ts.head).select($"docId", $"ord")
+        p.ts.zipWithIndex.drop(1).foreach { case (t, j) =>
+          val next = ptoks.filter($"term" === t)
+            .select($"docId".as("d2"), $"ord".as("o2"))
+          cand = cand.join(next,
+            cand("docId") === $"d2" && $"o2" === cand("ord") + j)
+            .select(cand("docId"), cand("ord"))
+        }
+        p -> cand.select("docId").distinct().as[Long].collect().toSet
+      }.toMap
     val perDoc = tf.filter($"term".isin(terms: _*))
       .join(dlen, "docId")
       .join(idfDf, "term")
@@ -288,7 +304,8 @@ object OracleBm25 {
       .agg(map_from_entries(collect_list(struct($"term", $"s"))).as("m"))
       .as[(Long, Map[String, Double])]
     perDoc.map { case (d, m) =>
-        (d, BoolQuery.evalScore(tree, m.contains, m(_)))
+        (d, BoolQuery.evalScore(tree, m.contains, m(_),
+          p => phraseDocs(p).contains(d)))
       }
       .filter(!_._2.isNaN)
       .toDF("docId", "score")

@@ -67,6 +67,21 @@ object BoolQ {
     require(tie >= 0.0 && tie <= 1.0 && !tie.isNaN,
       s"DISMAX tie must be in [0,1], got $tie")
   }
+
+  /** Exact-phrase leaf (`"a b"` in quotes — the Lucene classic-parser
+    * phrase-inside-BooleanQuery composition): matches documents where the
+    * token sequence occurs CONSECUTIVELY; scores the sum of the DISTINCT
+    * member terms' BM25 contributions in ascending-term order — the same
+    * contract as [[graft.query.Searcher.searchPhrase]], so a one-leaf tree
+    * is bit-identical to the flat phrase query. Adjacency needs positions,
+    * so phrase-bearing trees route through the positional boolean kernel
+    * ([[graft.query.Searcher.scoreShardBoolPos]]); presence-only algebra
+    * (satisfiability, required terms, bounds) treats the phrase as the AND
+    * of its members, which is sound (adjacency only shrinks the match set).
+    */
+  final case class Phrase(ts: Vector[String]) extends BoolQ {
+    require(ts.length >= 2, s"phrase needs at least 2 tokens, got $ts")
+  }
 }
 
 object BoolQuery {
@@ -84,6 +99,7 @@ object BoolQuery {
   private case object KwDismax extends Tok
   private final case class Word(w: String) extends Tok
   private final case class Caret(f: Double) extends Tok
+  private final case class Quoted(s: String) extends Tok
 
   private def lex(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -95,6 +111,13 @@ object BoolQuery {
       else if (c == '(') { out += LParen; i += 1 }
       else if (c == ')') { out += RParen; i += 1 }
       else if (c == '-') { out += Minus; i += 1 }
+      else if (c == '"') {
+        // quoted phrase: everything to the closing quote is one atom
+        val close = s.indexOf('"', i + 1)
+        require(close >= 0, s"unterminated quote in boolean query: '$s'")
+        out += Quoted(s.substring(i + 1, close))
+        i = close + 1
+      }
       else if (c == '^') {
         // query-time boost: `^<positive number>` binds to the atom it
         // follows (`util_7^2`, `(a b)^0.3`)
@@ -112,7 +135,8 @@ object BoolQuery {
       else {
         val start = i
         while (i < n && !s.charAt(i).isWhitespace && s.charAt(i) != '^' &&
-               s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+               s.charAt(i) != '(' && s.charAt(i) != ')' &&
+               s.charAt(i) != '"') i += 1
         s.substring(start, i) match {
           case "OR" => out += KwOr
           case "AND" => out += KwAnd
@@ -158,7 +182,7 @@ object BoolQuery {
       while (more) peek match {
         case Some(KwAnd) => next(); parts += unary()
         case Some(LParen) | Some(Minus) | Some(KwNot) | Some(KwDismax) |
-             Some(Word(_)) =>
+             Some(Word(_)) | Some(Quoted(_)) =>
           parts += unary()
         case _ => more = false
       }
@@ -185,6 +209,12 @@ object BoolQuery {
           require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
           if (ts.length == 1) Term(ts.head)
           else And(ts.map(Term(_)).toVector)
+        case Quoted(s) =>
+          // `"a b"` = exact-phrase leaf; a one-token quote is a plain term
+          val ts = Tokenize.tokenize(s)
+          require(ts.nonEmpty,
+            s"quoted phrase '$s' normalizes to no token in '$query'")
+          if (ts.length == 1) Term(ts.head) else Phrase(ts.toVector)
         case KwDismax =>
           // DISMAX tie? ( clause clause … ): the optional tie is a bare
           // number word; inside the parens each unary atom is ONE clause
@@ -252,24 +282,49 @@ object BoolQuery {
       case Not(x) => walk(x)
       case Boost(x, _) => walk(x)
       case DisMax(xs, _) => xs.iterator.flatMap(walk)
+      case Phrase(ts) => ts.iterator
     }
     walk(q).toVector.distinct.sorted
+  }
+
+  /** All phrase leaves of the tree (depth-first, distinct). */
+  def phraseLeaves(q: BoolQ): Vector[Phrase] = {
+    def walk(q: BoolQ): Iterator[Phrase] = q match {
+      case p: Phrase => Iterator.single(p)
+      case Term(_) => Iterator.empty
+      case And(xs) => xs.iterator.flatMap(walk)
+      case Or(xs) => xs.iterator.flatMap(walk)
+      case Not(x) => walk(x)
+      case Boost(x, _) => walk(x)
+      case DisMax(xs, _) => xs.iterator.flatMap(walk)
+    }
+    walk(q).toVector.distinct
   }
 
   /** Does the tree match a document containing NONE of its terms? Such a
     * tree (pure-negative / match-all) cannot be answered from posting
     * lists and is rejected by [[Searcher.searchBool]].
     */
-  def matchesEmptyDoc(q: BoolQ): Boolean = matches(q, _ => false)
+  def matchesEmptyDoc(q: BoolQ): Boolean =
+    matches(q, _ => false, _ => false) // a phrase can't match an empty doc
 
-  /** Exact boolean match given per-term presence. */
-  def matches(q: BoolQ, has: String => Boolean): Boolean = q match {
+  /** Exact boolean match given per-term presence. Trees with phrase leaves
+    * must use the 3-arg overload (adjacency is not a presence function).
+    */
+  def matches(q: BoolQ, has: String => Boolean): Boolean =
+    matches(q, has, p => throw new IllegalStateException(
+      s"phrase leaf $p requires a positional evaluation path"))
+
+  /** Exact boolean match given per-term presence AND per-phrase adjacency. */
+  def matches(q: BoolQ, has: String => Boolean,
+              phraseOk: Phrase => Boolean): Boolean = q match {
     case Term(t) => has(t)
-    case And(xs) => xs.forall(matches(_, has))
-    case Or(xs) => xs.exists(matches(_, has))
-    case Not(x) => !matches(x, has)
-    case Boost(x, _) => matches(x, has)
-    case DisMax(xs, _) => xs.exists(matches(_, has))
+    case And(xs) => xs.forall(matches(_, has, phraseOk))
+    case Or(xs) => xs.exists(matches(_, has, phraseOk))
+    case Not(x) => !matches(x, has, phraseOk)
+    case Boost(x, _) => matches(x, has, phraseOk)
+    case DisMax(xs, _) => xs.exists(matches(_, has, phraseOk))
+    case p: Phrase => phraseOk(p)
   }
 
   /** OPTIMISTIC satisfiability: can the tree possibly match when term `t`
@@ -286,6 +341,9 @@ object BoolQuery {
     case Not(_) => true
     case Boost(x, _) => satisfiable(x, mayHave)
     case DisMax(xs, _) => xs.exists(satisfiable(_, mayHave))
+    // presence of every member is NECESSARY for adjacency — sound, and
+    // exact at the presence level (adjacency only shrinks further)
+    case Phrase(ts) => ts.forall(mayHave)
   }
 
   /** Terms REQUIRED in every matching document: the positive direct Term
@@ -297,6 +355,7 @@ object BoolQuery {
     case Term(t) => Seq(t)
     case And(xs) => xs.flatMap(requiredTerms).distinct
     case Boost(x, _) => requiredTerms(x)
+    case Phrase(ts) => ts.distinct // every member must be present to match
     case _ => Seq.empty
   }
 
@@ -317,6 +376,7 @@ object BoolQuery {
       case Not(x) => walk(x, !neg)
       case Boost(x, _) => walk(x, neg)
       case DisMax(xs, _) => xs.iterator.flatMap(walk(_, neg))
+      case Phrase(ts) => if (neg) Iterator.empty else ts.iterator
     }
     walk(q, neg = false).toSet
   }
@@ -363,6 +423,11 @@ object BoolQuery {
       if (tie == 0.0) maxU
       else if (tie == 1.0) sumU
       else (1.0 - tie) * maxU + tie * sumU
+    case Phrase(ts) =>
+      // phrase score = sum of distinct member scores ≤ sum of their bounds
+      var s = 0.0
+      ts.distinct.foreach(t => s += leafUb(t))
+      s
   }
 
   /** Evaluate match + score for one document. `score(t)` must only be
@@ -372,13 +437,29 @@ object BoolQuery {
     * left-to-right — the determinism contract shared with the oracles.
     */
   def evalScore(q: BoolQ, has: String => Boolean,
-                score: String => Double): Double = q match {
+                score: String => Double): Double =
+    evalScore(q, has, score, p => throw new IllegalStateException(
+      s"phrase leaf $p requires a positional evaluation path"))
+
+  /** [[evalScore]] with per-phrase adjacency for phrase-bearing trees.
+    * A matched phrase scores the sum of its DISTINCT members' scores in
+    * ascending-term order (the flat phrase query's contract).
+    */
+  def evalScore(q: BoolQ, has: String => Boolean, score: String => Double,
+                phraseOk: Phrase => Boolean): Double = q match {
+    case p @ Phrase(ts) =>
+      if (!ts.forall(has) || !phraseOk(p)) Double.NaN
+      else {
+        var s = 0.0
+        ts.distinct.sorted.foreach(t => s += score(t))
+        s
+      }
     case Term(t) => if (has(t)) score(t) else Double.NaN
     case And(xs) =>
       var s = 0.0
       var i = 0
       while (i < xs.length) {
-        val c = evalScore(xs(i), has, score)
+        val c = evalScore(xs(i), has, score, phraseOk)
         if (c.isNaN) return Double.NaN
         s += c
         i += 1
@@ -389,15 +470,15 @@ object BoolQuery {
       var any = false
       var i = 0
       while (i < xs.length) {
-        val c = evalScore(xs(i), has, score)
+        val c = evalScore(xs(i), has, score, phraseOk)
         if (!c.isNaN) { any = true; s += c }
         i += 1
       }
       if (any) s else Double.NaN
     case Not(x) =>
-      if (evalScore(x, has, score).isNaN) 0.0 else Double.NaN
+      if (evalScore(x, has, score, phraseOk).isNaN) 0.0 else Double.NaN
     case Boost(x, f) =>
-      val c = evalScore(x, has, score)
+      val c = evalScore(x, has, score, phraseOk)
       if (c.isNaN) Double.NaN else c * f
     case DisMax(xs, tie) =>
       // Lucene DisjunctionMaxScorer accounting: running left-to-right sum
@@ -409,7 +490,7 @@ object BoolQuery {
       var any = false
       var i = 0
       while (i < xs.length) {
-        val c = evalScore(xs(i), has, score)
+        val c = evalScore(xs(i), has, score, phraseOk)
         if (!c.isNaN) { any = true; sum += c; if (c > mx) mx = c }
         i += 1
       }

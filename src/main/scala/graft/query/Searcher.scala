@@ -569,6 +569,11 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (candShards.isEmpty) return spark.emptyDataset[Hit]
     val required = BoolQuery.requiredTerms(tree).filter(live.contains).sorted
 
+    // phrase leaves ("a b" quoted) need adjacency → the positional kernel;
+    // phrase-free trees keep the block-max-pruned non-positional path below
+    if (BoolQuery.phraseLeaves(tree).nonEmpty)
+      return searchBoolTreePos(tree, k, live, required, idfByTerm, candShards)
+
     val segsC = postings.filter($"term".isin(live: _*) &&
       $"shard".isin(candShards: _*)).as[PostingSeg]
       .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
@@ -589,6 +594,46 @@ class Searcher(spark: SparkSession, indexDir: String,
           Searcher.scoreShardBool(segsByTerm, Searcher.mergeLens(lenIt), tree,
             liveSorted, required, idfByTerm, k1, b, avgdl, k, accS, accP,
             pruning, deleted, reB)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Positional leg of [[searchBoolTree]] for phrase-bearing trees: same
+    * shard pruning and required-term discipline, but segments decode WITH
+    * positions and the per-shard walk is the EXACT (unpruned) positional
+    * kernel [[Searcher.scoreShardBoolPos]] — phrase adjacency is not a
+    * presence function, so the block-max tiers don't apply; the candidate
+    * stream is still bounded by the rarest required list (phrase members
+    * are required wherever the phrase is) or the positive-list union.
+    */
+  private def searchBoolTreePos(tree: BoolQ, k: Int, live: Seq[String],
+                                required: Seq[String],
+                                idfByTerm: Map[String, Double],
+                                candShards: Seq[Int]): Dataset[Hit] = {
+    require(postings.columns.contains("posBytes"),
+      "phrase leaves in a boolean query require a positional index " +
+        "(IndexConfig(positions = true))")
+    val segsC = postings.filter($"term".isin(live: _*) &&
+      $"shard".isin(candShards: _*)).as[PostingSegP]
+      .unionByName(exclusionSegs(candShards)
+        .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
+    val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val (treeB, liveB, reqB, idfB) = (tree, live, required, idfByTerm)
+    val (accS, accT) = (candidatesScored, shardsTouched)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del.map(s =>
+          PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
+        val segsByTerm = rest.groupBy(_.term)
+        if (segsByTerm.isEmpty || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardBoolPos(segsByTerm, Searcher.mergeLens(lenIt),
+            treeB, liveB, reqB, idfB, k1, b, avgdl, k, accS, deleted)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -2106,6 +2151,123 @@ object Searcher {
     }
     if (accScored != null) accScored.add(scored)
     if (accPruned != null) accPruned.add(pruned)
+    heap.iterator.toArray.iterator
+  }
+
+  /** Does the token sequence occur consecutively in the candidate doc?
+    * Every member list's cursor must sit AT the candidate. The standard
+    * positional zipper (same loop as [[scoreShardPhrase]]): survivors of
+    * `cur ← (cur + 1) ∩ positions(token_j)` are the phrase end positions.
+    */
+  private def phraseAdjacent(ts: Vector[String], lists: Array[PosList],
+                             byTerm: Map[String, Int]): Boolean = {
+    val l0 = lists(byTerm(ts.head))
+    var cur: Array[Int] =
+      java.util.Arrays.copyOfRange(l0.flat, l0.off(l0.pos), l0.off(l0.pos + 1))
+    var j = 1
+    while (cur.nonEmpty && j < ts.length) {
+      val lj = lists(byTerm(ts(j)))
+      val s = lj.off(lj.pos)
+      val e = lj.off(lj.pos + 1)
+      val out = Array.newBuilder[Int]
+      var a = 0
+      var x = s
+      while (a < cur.length && x < e) {
+        val want = cur(a) + 1
+        if (lj.flat(x) < want) x += 1
+        else if (lj.flat(x) > want) a += 1
+        else { out += want; a += 1; x += 1 }
+      }
+      cur = out.result()
+      j += 1
+    }
+    cur.nonEmpty
+  }
+
+  /** Per-shard POSITIONAL boolean-tree evaluation (exact, document-at-a-
+    * time) for phrase-bearing trees: candidates come from the rarest
+    * required list (phrase members are required wherever their phrase is)
+    * or, for disjunctive roots, the sorted-distinct union of the positive
+    * lists; every list gallops to the candidate, each phrase leaf is
+    * decided by the positional zipper over its members' lists, and the
+    * tree scores through [[BoolQuery.evalScore]] with the per-candidate
+    * adjacency answers. No block-max tiers here — adjacency is not a
+    * presence function, so bounds from presence alone cannot prune soundly
+    * below the presence level, and phrase-bearing trees are rare enough
+    * that the exact walk is the honest baseline (the same tradeoff r4
+    * shipped for boolean trees before tree pruning landed).
+    */
+  def scoreShardBoolPos(segsByTerm: Map[String, Array[PostingSegP]],
+                        lens: ShardLens, tree: BoolQ,
+                        termsSorted: Seq[String], required: Seq[String],
+                        idfByTerm: Map[String, Double],
+                        k1: Double, b: Double, avgdl: Double, k: Int,
+                        accScored: LongAccumulator = null,
+                        deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    if (required.exists(t => !segsByTerm.contains(t))) return Iterator.empty
+    val present = termsSorted.filter(segsByTerm.contains)
+    val lists: Array[PosList] = present.map(t =>
+      withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray
+    val byTerm: Map[String, Int] = present.zipWithIndex.toMap
+    val n = lists.length
+    if (n == 0) return Iterator.empty
+    if (required.exists(t => lists(byTerm(t)).docs.isEmpty)) return Iterator.empty
+    val phrases = BoolQuery.phraseLeaves(tree)
+    // phrases whose members are all present in this shard — others are
+    // decided false without a zipper
+    val candDocs: Iterator[Long] =
+      if (required.nonEmpty) {
+        val leadIdx = required.map(byTerm).minBy(i => lists(i).docs.length)
+        lists(leadIdx).docs.iterator
+      } else {
+        val posSet = BoolQuery.positiveTerms(tree)
+        val arrays = present.zipWithIndex
+          .collect { case (t, i) if posSet.contains(t) => lists(i).docs }
+        if (arrays.isEmpty) return Iterator.empty
+        // sorted-distinct union; bounded by the shard's docsPerShard
+        val all = new Array[Long](arrays.map(_.length).sum)
+        var o = 0
+        arrays.foreach { a => System.arraycopy(a, 0, all, o, a.length); o += a.length }
+        java.util.Arrays.sort(all)
+        all.iterator.zipWithIndex
+          .collect { case (d, i) if i == 0 || all(i - 1) != d => d }
+      }
+    val heap = mutable.PriorityQueue.empty[Hit](
+      Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var scored = 0L
+    val has = new Array[Boolean](n)
+    candDocs.foreach { cand =>
+      var i = 0
+      while (i < n) {
+        val l = lists(i)
+        l.pos = gallop(l.docs, l.pos, cand)
+        has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
+        i += 1
+      }
+      if (required.forall(t => has(byTerm(t)))) {
+        val pOk: Map[BoolQ.Phrase, Boolean] = phrases.map { p =>
+          p -> (p.ts.forall(t => byTerm.get(t).exists(has)) &&
+            phraseAdjacent(p.ts, lists, byTerm))
+        }.toMap
+        val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+        val denomK = k1 * (1.0 - b + b * (dlen / avgdl))
+        val score = BoolQuery.evalScore(tree,
+          t => byTerm.get(t).exists(has),
+          { t =>
+            val l = lists(byTerm(t))
+            val tf = l.tfs(l.pos).toDouble
+            (idfByTerm(t) * (tf * k1p1)) / (tf + denomK)
+          },
+          pOk)
+        if (!score.isNaN) {
+          scored += 1
+          if (heap.size < k) heap.enqueue(Hit(cand, score))
+          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+        }
+      }
+    }
+    if (accScored != null) accScored.add(scored)
     heap.iterator.toArray.iterator
   }
 }

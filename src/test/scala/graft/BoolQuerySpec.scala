@@ -321,6 +321,79 @@ class BoolQuerySpec extends AnyFunSuite {
     }
   }
 
+  // phrase leaves need positions: a dedicated positional build (distinct
+  // path from PhraseSpec's — suites may run in parallel)
+  private lazy val posSearcher: Searcher = {
+    val (c, _) = TestSpark.builtIndex
+    val i = s"${TestSpark.workDir}/indexpos_bool"
+    graft.index.IndexBuilder.buildFast(spark, c, i,
+      graft.index.IndexConfig(docsPerShard = 256, positions = true))
+    new Searcher(spark, i)
+  }
+  private def gotP(q: String, k: Int = 10) =
+    posSearcher.searchBool(q, k).collect().map(h => (h.docId, h.score)).toSeq
+
+  test("phrase leaves: parser, algebra, one-leaf ≡ flat phrase") {
+    assert(BoolQuery.parse("\"a b\"") == Phrase(Vector("a", "b")))
+    assert(BoolQuery.parse("\"a b\" OR c") ==
+      Or(Vector(Phrase(Vector("a", "b")), Term("c"))))
+    // a one-token quote degrades to a plain term; quotes normalize tokens
+    assert(BoolQuery.parse("\"a\"") == Term("a"))
+    assert(BoolQuery.parse("\"Foo.Bar baz\"") ==
+      Phrase(Vector("foo", "bar", "baz")))
+    // boost binds to the quoted atom
+    assert(BoolQuery.parse("\"a b\"^2") == Boost(Phrase(Vector("a", "b")), 2.0))
+    intercept[IllegalArgumentException](BoolQuery.parse("\"a b"))
+    // algebra: members are leaf terms, required wherever the phrase is,
+    // positive, and the phrase can't match an empty doc
+    val p = BoolQuery.parse("\"a b\" c")
+    assert(BoolQuery.leafTerms(p) == Seq("a", "b", "c"))
+    assert(BoolQuery.requiredTerms(p).toSet == Set("a", "b", "c"))
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("\"a b\" OR c")).isEmpty)
+    assert(!BoolQuery.matchesEmptyDoc(BoolQuery.parse("\"a b\"")))
+    assert(BoolQuery.matchesEmptyDoc(BoolQuery.parse("\"a b\" OR -c")))
+    // one-leaf tree ≡ the flat phrase query, bit-exact
+    val viaTree = gotP("\"import def\"")
+    val viaFlat = posSearcher.searchPhrase("import def", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(viaTree == viaFlat)
+    assert(viaTree.nonEmpty)
+  }
+
+  test("phrase leaves: composed trees are rank-identical to the oracle") {
+    for (q <- Seq(
+        "(\"import def\" OR util_3) val",       // the driver gate's tree
+        "\"import def\" -util_7",                // phrase with a NOT sibling
+        "\"import def\" OR \"def class\"",       // two phrase leaves
+        "DISMAX 0.4 (\"import def\" util_7)",   // phrase inside dismax
+        "\"import def\"^2 val")) {               // boosted phrase under AND
+      val g = gotP(q)
+      val w = want(BoolQuery.parse(q))
+      assert(g == w, s"query '$q'")
+      assert(g.nonEmpty, s"vacuous gate for '$q'")
+    }
+    // a phrase with a dead member can never match; OR drops it
+    assert(posSearcher.searchBool("\"import zzqx_nothing\"", 5).isEmpty)
+    val g2 = gotP("\"import zzqx_nothing\" OR util_7")
+    val w2 = posSearcher.searchOr("util_7", 10).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(g2 == w2)
+    // adjacency genuinely filters: the phrase tree matches fewer docs than
+    // the same tree with the phrase read as a bag of words
+    val phraseDocs = posSearcher.searchBool("\"import def\" val", 100000).count()
+    val bagDocs = posSearcher.searchBool("import def val", 100000).count()
+    assert(phraseDocs < bagDocs, s"$phraseDocs vs $bagDocs")
+    assert(phraseDocs > 0)
+  }
+
+  test("phrase leaves refuse a non-positional index") {
+    val s = searcher // the shared test index stores no positions
+    val e = intercept[IllegalArgumentException] {
+      s.searchBool("\"import def\" OR util_7", 5).collect()
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
   test("shard pruning is the tree's satisfiability algebra") {
     // a conjunctive root intersects required shard sets: rare terms touch
     // few shards, so the AND of two rare terms must touch no more shards
