@@ -601,11 +601,12 @@ class Searcher(spark: SparkSession, indexDir: String,
 
   /** Positional leg of [[searchBoolTree]] for phrase-bearing trees: same
     * shard pruning and required-term discipline, but segments decode WITH
-    * positions and the per-shard walk is the EXACT (unpruned) positional
-    * kernel [[Searcher.scoreShardBoolPos]] — phrase adjacency is not a
-    * presence function, so the block-max tiers don't apply; the candidate
-    * stream is still bounded by the rarest required list (phrase members
-    * are required wherever the phrase is) or the positive-list union.
+    * positions and the per-shard walk is the exact positional kernel
+    * [[Searcher.scoreShardBoolPos]], which prunes on presence-level tree
+    * bounds over exact per-list score ceilings (admissible for phrase
+    * leaves — adjacency only shrinks the match set); the candidate stream
+    * is bounded by the rarest required list (phrase members are required
+    * wherever the phrase is) or the positive-list union.
     */
   private def searchBoolTreePos(tree: BoolQ, k: Int, live: Seq[String],
                                 required: Seq[String],
@@ -621,7 +622,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (treeB, liveB, reqB, idfB) = (tree, live, required, idfByTerm)
-    val (accS, accT) = (candidatesScored, shardsTouched)
+    val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
@@ -633,7 +634,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShardBoolPos(segsByTerm, Searcher.mergeLens(lenIt),
-            treeB, liveB, reqB, idfB, k1, b, avgdl, k, accS, deleted)
+            treeB, liveB, reqB, idfB, k1, b, avgdl, k, accS, deleted, accP)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -2191,11 +2192,14 @@ object Searcher {
     * lists; every list gallops to the candidate, each phrase leaf is
     * decided by the positional zipper over its members' lists, and the
     * tree scores through [[BoolQuery.evalScore]] with the per-candidate
-    * adjacency answers. No block-max tiers here — adjacency is not a
-    * presence function, so bounds from presence alone cannot prune soundly
-    * below the presence level, and phrase-bearing trees are rare enough
-    * that the exact walk is the honest baseline (the same tradeoff r4
-    * shipped for boolean trees before tree pruning landed).
+    * adjacency answers. Pruning uses EXACT per-list score ceilings (the
+    * max BM25 contribution actually attained in the shard, one O(postings)
+    * pass after decode — positional lists carry no block metadata):
+    * presence-level tree bounds over these ceilings are admissible for
+    * phrase leaves too, because a phrase scores the sum of its members and
+    * adjacency only SHRINKS the match set — so a candidate (or the whole
+    * remaining shard) whose presence bound can't beat θ is skipped before
+    * paying the positional zipper, with results exact by construction.
     */
   def scoreShardBoolPos(segsByTerm: Map[String, Array[PostingSegP]],
                         lens: ShardLens, tree: BoolQ,
@@ -2203,7 +2207,8 @@ object Searcher {
                         idfByTerm: Map[String, Double],
                         k1: Double, b: Double, avgdl: Double, k: Int,
                         accScored: LongAccumulator = null,
-                        deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                        deleted: Array[Long] = Array.emptyLongArray,
+                        accPruned: LongAccumulator = null): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     if (required.exists(t => !segsByTerm.contains(t))) return Iterator.empty
     val present = termsSorted.filter(segsByTerm.contains)
@@ -2233,41 +2238,83 @@ object Searcher {
         all.iterator.zipWithIndex
           .collect { case (d, i) if i == 0 || all(i - 1) != d => d }
       }
-    val heap = mutable.PriorityQueue.empty[Hit](
-      Ordering.by((h: Hit) => (-h.score, h.docId)))
-    var scored = 0L
-    val has = new Array[Boolean](n)
-    candDocs.foreach { cand =>
+    // exact per-list ceilings: the max BM25 contribution any posting of the
+    // list attains in THIS shard (uses the true per-doc dlens, so the
+    // ceiling is tight — not a block bound, a list bound)
+    val ceiling = new Array[Double](n)
+    locally {
       var i = 0
       while (i < n) {
         val l = lists(i)
-        l.pos = gallop(l.docs, l.pos, cand)
-        has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
+        val idfK = idfByTerm(l.term) * k1p1
+        var m = 0.0
+        var j = 0
+        while (j < l.docs.length) {
+          val dlen = lens.lens((l.docs(j) - lens.firstDocId).toInt).toDouble
+          val tf = l.tfs(j).toDouble
+          val c = (idfK * tf) / (tf + k1 * (1.0 - b + b * (dlen / avgdl)))
+          if (c > m) m = c
+          j += 1
+        }
+        ceiling(i) = m
         i += 1
       }
-      if (required.forall(t => has(byTerm(t)))) {
-        val pOk: Map[BoolQ.Phrase, Boolean] = phrases.map { p =>
-          p -> (p.ts.forall(t => byTerm.get(t).exists(has)) &&
-            phraseAdjacent(p.ts, lists, byTerm))
-        }.toMap
-        val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
-        val denomK = k1 * (1.0 - b + b * (dlen / avgdl))
-        val score = BoolQuery.evalScore(tree,
-          t => byTerm.get(t).exists(has),
-          { t =>
-            val l = lists(byTerm(t))
-            val tf = l.tfs(l.pos).toDouble
-            (idfByTerm(t) * (tf * k1p1)) / (tf + denomK)
-          },
-          pOk)
-        if (!score.isNaN) {
-          scored += 1
-          if (heap.size < k) heap.enqueue(Hit(cand, score))
-          else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+    }
+    val constUb = BoolQuery.upperBound(tree,
+      t => byTerm.get(t).map(ceiling).getOrElse(0.0))
+    val heap = mutable.PriorityQueue.empty[Hit](
+      Ordering.by((h: Hit) => (-h.score, h.docId)))
+    var scored = 0L
+    var pruned = 0L
+    def theta: Double = if (heap.size >= k) heap.head.score else Double.NegativeInfinity
+    val has = new Array[Boolean](n)
+    var done = false
+    val it = candDocs
+    while (!done && it.hasNext) {
+      val cand = it.next()
+      if (constUb <= theta) done = true // shard exhausted for this θ
+      else {
+        var i = 0
+        while (i < n) {
+          val l = lists(i)
+          l.pos = gallop(l.docs, l.pos, cand)
+          has(i) = l.pos < l.docs.length && l.docs(l.pos) == cand
+          i += 1
+        }
+        if (required.forall(t => has(byTerm(t)))) {
+          // presence bound over the candidate's PRESENT lists' ceilings —
+          // admissible (phrase ≤ sum of members; adjacency only shrinks)
+          val ub = BoolQuery.upperBound(tree, t => byTerm.get(t) match {
+            case Some(j) if has(j) => ceiling(j)
+            case _ => 0.0
+          })
+          if (ub <= theta) pruned += 1
+          else {
+            val pOk: Map[BoolQ.Phrase, Boolean] = phrases.map { p =>
+              p -> (p.ts.forall(t => byTerm.get(t).exists(has)) &&
+                phraseAdjacent(p.ts, lists, byTerm))
+            }.toMap
+            val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
+            val denomK = k1 * (1.0 - b + b * (dlen / avgdl))
+            val score = BoolQuery.evalScore(tree,
+              t => byTerm.get(t).exists(has),
+              { t =>
+                val l = lists(byTerm(t))
+                val tf = l.tfs(l.pos).toDouble
+                (idfByTerm(t) * (tf * k1p1)) / (tf + denomK)
+              },
+              pOk)
+            if (!score.isNaN) {
+              scored += 1
+              if (heap.size < k) heap.enqueue(Hit(cand, score))
+              else if (score > heap.head.score) { heap.dequeue(); heap.enqueue(Hit(cand, score)) }
+            }
+          }
         }
       }
     }
     if (accScored != null) accScored.add(scored)
+    if (accPruned != null) accPruned.add(pruned)
     heap.iterator.toArray.iterator
   }
 }

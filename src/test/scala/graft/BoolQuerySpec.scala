@@ -386,6 +386,22 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(phraseDocs > 0)
   }
 
+  test("phrase leaves: ceiling pruning fires with ranks exact") {
+    // hot-phrase OR rare-term at tiny k: θ fills with util_7-grade scores,
+    // so candidates holding only the hot members (import/def, tiny idf)
+    // bound below θ via the exact per-list ceilings and skip the positional
+    // zipper — while the ranking stays bit-identical to the oracle
+    val q = "\"import def\" OR util_7"
+    val tree = BoolQuery.parse(q)
+    val before = posSearcher.candidatesPruned.value
+    val g = posSearcher.searchBoolTree(tree, 3).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(g == want(tree, 3), s"query '$q'")
+    assert(g.nonEmpty)
+    assert(posSearcher.candidatesPruned.value > before,
+      "hot phrase tree pruned nothing")
+  }
+
   test("phrase leaves refuse a non-positional index") {
     val s = searcher // the shared test index stores no positions
     val e = intercept[IllegalArgumentException] {
