@@ -825,6 +825,17 @@ object Bench {
       qsecs("bm25_near_p50") = pct(lat, 0.50)
       qsecs("bm25_near_p95") = pct(lat, 0.95)
     }
+    // phrase leaves inside boolean trees: positional kernel with exact
+    // per-list ceiling pruning (r5)
+    locally {
+      val pqs = Seq("\"import def\" OR util_7",
+        "(\"import def\" OR util_3) val",
+        "\"import def\" -util_7")
+      pqs.foreach(q => phraseSearcher.searchBool(q, 10).collect())
+      val lat = pqs.map(q =>
+        timed(phraseSearcher.searchBool(q, 10).collect())._2).sorted
+      qsecs("bm25_bool_phrase_p50") = pct(lat, 0.50)
+    }
     // ordered proximity: the inOrder chain sweep over the same pairs (r5)
     locally {
       val nears = Seq(("import util_7", 6), ("import def util_7", 10),
