@@ -82,6 +82,34 @@ object BoolQ {
   final case class Phrase(ts: Vector[String]) extends BoolQ {
     require(ts.length >= 2, s"phrase needs at least 2 tokens, got $ts")
   }
+
+  /** Minimum-should-match (Lucene
+    * `BooleanQuery.Builder.setMinimumNumberShouldMatch`): matches when at
+    * least `m` of the clauses match; the score is the SUM of the MATCHED
+    * clauses in child order — this engine's disjunction-sum, so `m = 1` is
+    * exactly OR and `m = xs.length` is exactly AND (which also sums all its
+    * children). Surface syntax: `MSM m ( clause clause … )` — like DISMAX,
+    * whitespace inside the parens separates CLAUSES (each a unary atom;
+    * parenthesize compounds).
+    */
+  final case class Msm(xs: Vector[BoolQ], m: Int) extends BoolQ {
+    require(xs.nonEmpty, "MSM needs at least one clause")
+    require(m >= 1 && m <= xs.length,
+      s"MSM m must be in 1..${xs.length} (clause count), got $m")
+  }
+
+  /** Constant score (Lucene ConstantScoreQuery): matches iff the wrapped
+    * tree matches, and scores exactly `v` — the subtree's own scores are
+    * discarded, so `CONST 0 (lang-filter-terms)` is the classic
+    * filter-clause idiom (mandatory match, zero score contribution) and
+    * `CONST 1 (…)` the classic constant-score wrapper. `v` must be finite
+    * and ≥ 0 (keeps every ancestor's admissible bound valid). Surface
+    * syntax: `CONST v ( expr )` — ordinary parens, juxtaposition = AND.
+    */
+  final case class Const(x: BoolQ, v: Double) extends BoolQ {
+    require(v >= 0.0 && java.lang.Double.isFinite(v),
+      s"CONST score must be a finite number >= 0, got $v")
+  }
 }
 
 object BoolQuery {
@@ -97,6 +125,8 @@ object BoolQuery {
   private case object KwAnd extends Tok
   private case object KwNot extends Tok
   private case object KwDismax extends Tok
+  private case object KwMsm extends Tok
+  private case object KwConst extends Tok
   private final case class Word(w: String) extends Tok
   private final case class Caret(f: Double) extends Tok
   private final case class Quoted(s: String) extends Tok
@@ -142,6 +172,8 @@ object BoolQuery {
           case "AND" => out += KwAnd
           case "NOT" => out += KwNot
           case "DISMAX" => out += KwDismax
+          case "MSM" => out += KwMsm
+          case "CONST" => out += KwConst
           case w => out += Word(w)
         }
       }
@@ -182,6 +214,7 @@ object BoolQuery {
       while (more) peek match {
         case Some(KwAnd) => next(); parts += unary()
         case Some(LParen) | Some(Minus) | Some(KwNot) | Some(KwDismax) |
+             Some(KwMsm) | Some(KwConst) |
              Some(Word(_)) | Some(Quoted(_)) =>
           parts += unary()
         case _ => more = false
@@ -247,6 +280,56 @@ object BoolQuery {
           val xs = kids.result()
           require(xs.nonEmpty, s"empty DISMAX group in '$query'")
           DisMax(xs, tie)
+        case KwMsm =>
+          // MSM m ( clause clause … ): m is a required bare integer;
+          // clause separation as in DISMAX (each unary atom is ONE clause)
+          val m = next() match {
+            case Word(w) if w.nonEmpty && w.forall(_.isDigit) => w.toInt
+            case t => throw new IllegalArgumentException(
+              s"expected an integer after MSM, got '$t' in '$query'")
+          }
+          next() match {
+            case LParen => ()
+            case t => throw new IllegalArgumentException(
+              s"expected '(' after MSM $m, got '$t' in '$query'")
+          }
+          val kids = Vector.newBuilder[BoolQ]
+          var open = true
+          while (open) peek match {
+            case Some(RParen) => next(); open = false
+            case Some(_) => kids += unary()
+            case None => throw new IllegalArgumentException(
+              s"unbalanced '(' after MSM in '$query'")
+          }
+          val xs = kids.result()
+          require(xs.nonEmpty, s"empty MSM group in '$query'")
+          Msm(xs, m) // constructor validates 1 <= m <= xs.length
+        case KwConst =>
+          // CONST v ( expr ): v is a required bare number; the parens wrap
+          // ONE ordinary expression (juxtaposition = AND, as everywhere)
+          val v = next() match {
+            case Word(w) if w.nonEmpty &&
+                w.forall(c => c.isDigit || c == '.') =>
+              try w.toDouble catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"CONST score '$w' is not a number in '$query'")
+              }
+            case t => throw new IllegalArgumentException(
+              s"expected a number after CONST, got '$t' in '$query'")
+          }
+          next() match {
+            case LParen => ()
+            case t => throw new IllegalArgumentException(
+              s"expected '(' after CONST $v, got '$t' in '$query'")
+          }
+          val e = expr()
+          peek match {
+            case Some(RParen) => next()
+            case _ => throw new IllegalArgumentException(
+              s"unbalanced '(' after CONST in '$query'")
+          }
+          Const(e, v)
         case t => throw new IllegalArgumentException(
           s"unexpected '$t' in boolean query: '$query'")
       }
@@ -282,6 +365,8 @@ object BoolQuery {
       case Not(x) => walk(x)
       case Boost(x, _) => walk(x)
       case DisMax(xs, _) => xs.iterator.flatMap(walk)
+      case Msm(xs, _) => xs.iterator.flatMap(walk)
+      case Const(x, _) => walk(x)
       case Phrase(ts) => ts.iterator
     }
     walk(q).toVector.distinct.sorted
@@ -297,6 +382,8 @@ object BoolQuery {
       case Not(x) => walk(x)
       case Boost(x, _) => walk(x)
       case DisMax(xs, _) => xs.iterator.flatMap(walk)
+      case Msm(xs, _) => xs.iterator.flatMap(walk)
+      case Const(x, _) => walk(x)
     }
     walk(q).toVector.distinct
   }
@@ -324,6 +411,8 @@ object BoolQuery {
     case Not(x) => !matches(x, has, phraseOk)
     case Boost(x, _) => matches(x, has, phraseOk)
     case DisMax(xs, _) => xs.exists(matches(_, has, phraseOk))
+    case Msm(xs, m) => xs.count(matches(_, has, phraseOk)) >= m
+    case Const(x, _) => matches(x, has, phraseOk)
     case p: Phrase => phraseOk(p)
   }
 
@@ -341,6 +430,11 @@ object BoolQuery {
     case Not(_) => true
     case Boost(x, _) => satisfiable(x, mayHave)
     case DisMax(xs, _) => xs.exists(satisfiable(_, mayHave))
+    // optimistic: each satisfiable child MAY match, so ≥ m of them may
+    // (children are evaluated on the same document — still optimistic,
+    // never pessimistic, which is all soundness needs)
+    case Msm(xs, m) => xs.count(satisfiable(_, mayHave)) >= m
+    case Const(x, _) => satisfiable(x, mayHave)
     // presence of every member is NECESSARY for adjacency — sound, and
     // exact at the presence level (adjacency only shrinks further)
     case Phrase(ts) => ts.forall(mayHave)
@@ -356,6 +450,9 @@ object BoolQuery {
     case And(xs) => xs.flatMap(requiredTerms).distinct
     case Boost(x, _) => requiredTerms(x)
     case Phrase(ts) => ts.distinct // every member must be present to match
+    // m = all clauses ⇒ behaves as AND; any smaller m requires nothing
+    case Msm(xs, m) if m == xs.length => xs.flatMap(requiredTerms).distinct
+    case Const(x, _) => requiredTerms(x) // match logic delegates unchanged
     case _ => Seq.empty
   }
 
@@ -376,6 +473,10 @@ object BoolQuery {
       case Not(x) => walk(x, !neg)
       case Boost(x, _) => walk(x, neg)
       case DisMax(xs, _) => xs.iterator.flatMap(walk(_, neg))
+      // Msm's match count is monotone in its children, so the antitone
+      // argument above extends through it unchanged
+      case Msm(xs, _) => xs.iterator.flatMap(walk(_, neg))
+      case Const(x, _) => walk(x, neg)
       case Phrase(ts) => if (neg) Iterator.empty else ts.iterator
     }
     walk(q, neg = false).toSet
@@ -428,6 +529,15 @@ object BoolQuery {
       var s = 0.0
       ts.distinct.foreach(t => s += leafUb(t))
       s
+    case Msm(xs, _) =>
+      // actual = sum over a MATCHED SUBSET of children; every child bound
+      // is ≥ 0, so the total sum is an admissible ceiling (same as OR)
+      var s = 0.0; var i = 0
+      while (i < xs.length) { s += upperBound(xs(i), leafUb); i += 1 }
+      s
+    // a matched Const scores exactly v (and v ≥ 0 by construction) — the
+    // subtree's own bounds are irrelevant
+    case Const(_, v) => v
   }
 
   /** Evaluate match + score for one document. `score(t)` must only be
@@ -495,5 +605,20 @@ object BoolQuery {
         i += 1
       }
       if (any) mx + (sum - mx) * tie else Double.NaN
+    case Msm(xs, m) =>
+      // disjunction-sum over the matched children, gated on the count —
+      // the same left-to-right fold as Or, so MSM 1 ≡ OR bit-exactly
+      var s = 0.0
+      var cnt = 0
+      var i = 0
+      while (i < xs.length) {
+        val c = evalScore(xs(i), has, score, phraseOk)
+        if (!c.isNaN) { cnt += 1; s += c }
+        i += 1
+      }
+      if (cnt >= m) s else Double.NaN
+    case Const(x, v) =>
+      // match logic delegates; the score is the constant itself
+      if (evalScore(x, has, score, phraseOk).isNaN) Double.NaN else v
   }
 }

@@ -704,6 +704,49 @@ class Searcher(spark: SparkSession, indexDir: String,
   def expandWildcard(glob: String, maxExpand: Int = 64): Seq[String] =
     expandRegex(Searcher.globToRegex(glob), maxExpand)
 
+  /** Term range query (Lucene TermRangeQuery analog, the classic-parser
+    * `[lo TO hi]`): every dictionary term inside the lexicographic range —
+    * endpoints lowercased to the tokenizer's normalization, either end
+    * open via None, inclusivity per end — capped at the `maxExpand`
+    * highest-df matches (df desc, term asc — deterministic,
+    * oracle-reproducible), then scored as a disjunctive (OR) query on the
+    * same WAND-pruned kernel as the prefix/regex/fuzzy rewrite family.
+    *
+    * Scale shape: the range predicate is a plain string comparison on the
+    * dict scan, so parquet row-group min/max statistics prune exactly like
+    * the prefix query's startsWith; the dictionary is never collected
+    * beyond the capped expansion.
+    */
+  def searchTermRange(lo: Option[String], hi: Option[String], k: Int,
+                      includeLo: Boolean = true, includeHi: Boolean = true,
+                      maxExpand: Int = 64): Dataset[Hit] = {
+    val expanded = expandTermRange(lo, hi, includeLo, includeHi, maxExpand)
+    if (expanded.isEmpty) spark.emptyDataset[Hit]
+    else searchOrTerms(expanded.sorted, k)
+  }
+
+  /** The dictionary expansion of a term range: all terms in the range,
+    * ordered (df desc, term asc), capped at `maxExpand`.
+    */
+  def expandTermRange(lo: Option[String], hi: Option[String],
+                      includeLo: Boolean = true, includeHi: Boolean = true,
+                      maxExpand: Int = 64): Seq[String] = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "term range needs at least one bound (both open = match-all)")
+    val l = lo.map(_.toLowerCase)
+    val h = hi.map(_.toLowerCase)
+    for (a <- l; b <- h) require(a <= b,
+      s"term range is empty: lo '$a' > hi '$b'")
+    val loPred = l.map(v => if (includeLo) $"term" >= v else $"term" > v)
+    val hiPred = h.map(v => if (includeHi) $"term" <= v else $"term" < v)
+    val pred = (loPred.toSeq ++ hiPred.toSeq).reduce(_ && _)
+    dict.filter(pred)
+      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+      .orderBy($"df".desc, $"term".asc)
+      .limit(maxExpand)
+      .select("term").as[String].collect().toSeq
+  }
+
   /** The dictionary expansion of a regex: full-term matches ordered by
     * (df desc, term asc), capped at `maxExpand`.
     */
@@ -1051,6 +1094,109 @@ class Searcher(spark: SparkSession, indexDir: String,
       .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"),
         sum(v).as("sm"))
       .withColumn("mean", round($"sm".cast("double") / $"n", 9))
+  }
+
+  /** The FULL conjunctive match set WITH exact BM25 scores, as a
+    * distributed DataFrame (docId, score) — the building block for
+    * operations that rank or group over every match rather than a top-k
+    * (collapse/grouping, field sorting with scores). Scores are bit-exact
+    * against the top-k kernel: per-(doc, term) contributions use the same
+    * IEEE expression shape as [[explainHits]] (proven bit-identical to the
+    * kernel in SearcherSpec), and the per-doc sum is an ascending-term
+    * left fold (`aggregate` over a `sort_array`-ed struct array — the
+    * kernel's accumulation order), never a partition-order-dependent SUM.
+    *
+    * Plan shape: one predicate-pushed postings scan (`term IN` + shard
+    * intersection), codegen'd vbyte decode, one broadcast-friendly join of
+    * per-shard merged length rows, one hash aggregation per docId. No
+    * driver materialization at any size.
+    */
+  def scoredMatches(query: String): DataFrame = {
+    graft.functions.VByteFunctions.register(spark)
+    val empty = spark.range(0)
+      .select($"id".as("docId"), lit(0.0).as("score"))
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return empty
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L)) return empty
+    val candShards = terms.map(t => info(t).shards)
+      .reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return empty
+    val nTerms = terms.length
+    val dps = meta.docsPerShard
+    val termStats = broadcast(
+      terms.map(t => (t, idf(meta.numDocs, info(t).df))).toSeq
+        .toDF("term", "idf"))
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val contrib = postings
+      .filter($"term".isin(terms: _*) && $"shard".isin(candShards.toSeq: _*))
+      .select($"term", explode(arrays_zip(
+        expr("vbyte_decode_deltas(docBytes, n)").as("d"),
+        expr("vbyte_decode_ints(tfBytes, n)").as("f"))).as("p"))
+      .select($"term", $"p.d".as("docId"), $"p.f".as("tf"))
+      .join(termStats, "term")
+      .join(dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+          .groupByKey(_.shard).mapGroups((_, it) => Searcher.mergeLens(it))
+          .select($"shard", $"firstDocId", $"lens"),
+        ($"docId" / dps).cast("int") === $"shard")
+      .withColumn("dlen",
+        element_at($"lens", ($"docId" - $"firstDocId" + 1).cast("int")))
+      .withColumn("c",
+        ($"idf" * ($"tf".cast("double") * lit(k1 + 1.0))) /
+          ($"tf".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * ($"dlen".cast("double") / lit(avgdl)))))
+      .select($"docId", $"term", $"c")
+    val scored = contrib
+      .groupBy("docId")
+      .agg(count(lit(1)).as("nt"),
+        aggregate(sort_array(collect_list(struct($"term", $"c"))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+      .filter($"nt" === nTerms) // conjunctive: every term present
+      .select($"docId", $"score")
+    tombstoneDf match {
+      case Some(ts) => scored.join(ts.select("docId"), Seq("docId"), "left_anti")
+      case None => scored
+    }
+  }
+
+  /** Field-sorted results (Lucene `Sort(SortField)` analog): the top-k of
+    * the FULL conjunctive match set ordered by a docs-table column instead
+    * of relevance — `(docId, <sortCol>)`, ties broken by docId asc, like
+    * Lucene's index-order tiebreak. The plan is [[matchingDocs]] (codegen'd
+    * decode + hash agg) joined once against the docs table, then a global
+    * TakeOrdered of k rows — no full sort materializes at any scale.
+    */
+  def searchSortBy(query: String, k: Int, sortCol: String,
+                   asc: Boolean = true): DataFrame = {
+    val ord = if (asc) col(sortCol).asc else col(sortCol).desc
+    matchingDocs(query)
+      .join(docs, "docId")
+      .select($"docId", col(sortCol))
+      .orderBy(ord, $"docId".asc)
+      .limit(k)
+  }
+
+  /** Field collapse / result grouping (Lucene grouping module, Solr
+    * `collapse` analog): the single BEST-scoring document per value of a
+    * docs-table column, ranked by that best score — `(<groupCol>, docId,
+    * score)`, top-k groups. Scores come from [[scoredMatches]] (bit-exact
+    * vs the kernel); the best-per-group pick is a window `row_number` over
+    * (score desc, docId asc) inside each group — one shuffle by group key
+    * over the match set, then a global TakeOrdered of k rows.
+    */
+  def searchCollapse(query: String, k: Int, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy($"score".desc, $"docId".asc)
+    scoredMatches(query)
+      .join(docs, "docId")
+      .select(col(groupCol), $"docId", $"score")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .drop("rn")
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
   }
 
   /** Disjunctive scoring over an explicit, sorted term set. */

@@ -410,6 +410,92 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("positional"))
   }
 
+  test("msm: parser shape and validation") {
+    assert(BoolQuery.parse("MSM 2 (a b c)") ==
+      Msm(Vector(Term("a"), Term("b"), Term("c")), 2))
+    // clauses separate like DISMAX's: a parenthesized clause is ONE clause
+    assert(BoolQuery.parse("MSM 1 (util_7 (def val))") ==
+      Msm(Vector(Term("util_7"), And(Vector(Term("def"), Term("val")))), 1))
+    // composes under the ordinary operators and boosts
+    assert(BoolQuery.parse("MSM 2 (a b c)^1.5 -d") ==
+      And(Vector(Boost(Msm(Vector(Term("a"), Term("b"), Term("c")), 2), 1.5),
+                 Not(Term("d")))))
+    // m bounds: 0, > clause count, missing, non-integer
+    intercept[IllegalArgumentException](BoolQuery.parse("MSM 0 (a b)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("MSM 3 (a b)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("MSM (a b)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("MSM 2 a b"))
+    intercept[IllegalArgumentException](BoolQuery.parse("MSM 2 (a b"))
+    // algebra: required only at m = n; match-all detection sees through it
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("MSM 2 (a b)")).toSet ==
+      Set("a", "b"))
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("MSM 1 (a b)")).isEmpty)
+    assert(BoolQuery.matchesEmptyDoc(BoolQuery.parse("MSM 1 (-a b)")))
+    assert(!BoolQuery.matchesEmptyDoc(BoolQuery.parse("MSM 2 (-a b c)")))
+  }
+
+  test("msm: degenerate identities — m=1 ≡ OR, m=n ≡ AND, bit-exact") {
+    val or = got("util_7 OR def OR util_3")
+    assert(got("MSM 1 (util_7 def util_3)") == or)
+    val and = got("util_7 def util_3")
+    assert(got("MSM 3 (util_7 def util_3)") == and)
+    assert(or.nonEmpty && and.nonEmpty, "vacuous fixture")
+  }
+
+  test("msm: strictly between OR and AND; rank identity vs oracle") {
+    for (q <- Seq(
+        "MSM 2 (util_7 def util_3)",
+        "MSM 2 (util_1 util_2 util_3 util_7)",
+        "MSM 2 (util_7 (def val) -util_3)",
+        "import MSM 2 (util_1 util_2 util_3)",
+        "MSM 1 (util_7 zzqx_nothing)")) {
+      val g = got(q)
+      assert(g == want(BoolQuery.parse(q)), s"query '$q'")
+    }
+    // the 2-of-3 match COUNT sits strictly between 3-of-3 and 1-of-3 here
+    val n1 = searcher.searchBool("MSM 1 (util_1 util_2 util_3)", 10000).count()
+    val n2 = searcher.searchBool("MSM 2 (util_1 util_2 util_3)", 10000).count()
+    val n3 = searcher.searchBool("MSM 3 (util_1 util_2 util_3)", 10000).count()
+    assert(n3 < n2 && n2 < n1, s"counts $n3 / $n2 / $n1 not strictly ordered")
+  }
+
+  test("const: parser shape and validation") {
+    assert(BoolQuery.parse("CONST 2.5 (a b)") ==
+      Const(And(Vector(Term("a"), Term("b"))), 2.5))
+    // ordinary-paren semantics inside: OR parses as a full expression
+    assert(BoolQuery.parse("CONST 1 (a OR b)") ==
+      Const(Or(Vector(Term("a"), Term("b"))), 1.0))
+    intercept[IllegalArgumentException](BoolQuery.parse("CONST (a)"))
+    intercept[IllegalArgumentException](BoolQuery.parse("CONST 1 a"))
+    intercept[IllegalArgumentException](BoolQuery.parse("CONST 1 (a"))
+    // algebra delegates through the wrapper
+    assert(BoolQuery.requiredTerms(BoolQuery.parse("CONST 1 (a b)")).toSet ==
+      Set("a", "b"))
+    assert(BoolQuery.matchesEmptyDoc(BoolQuery.parse("CONST 1 (-a)")))
+  }
+
+  test("const: filter-clause idiom and constant scoring vs oracle") {
+    for (q <- Seq(
+        // mandatory zero-scoring filter clause next to a scored term
+        "util_7 CONST 0 (def val)",
+        // constant-score wrapper: every hit gets exactly 1.0 from it
+        "CONST 1 (util_7 OR util_3) import",
+        "DISMAX 0.3 (CONST 2 (util_7) def)")) {
+      val g = got(q)
+      assert(g == want(BoolQuery.parse(q)), s"query '$q'")
+      assert(g.nonEmpty, s"vacuous gate for '$q'")
+    }
+    // CONST discards subtree magnitude: the same filter with a boosted
+    // inside scores identically (boost is inside the discarded subtree)
+    assert(got("util_7 CONST 0 (def^9 val)") == got("util_7 CONST 0 (def val)"))
+    // match set of `a CONST 0 (b)` is the conjunctive a AND b set, scores
+    // are a's alone
+    val filtered = got("util_7 CONST 0 (def)", 10000)
+    val conj = searcher.search("util_7 def", 10000).collect()
+      .map(h => (h.docId, h.score)).toSeq
+    assert(filtered.map(_._1).toSet == conj.map(_._1).toSet)
+  }
+
   test("shard pruning is the tree's satisfiability algebra") {
     // a conjunctive root intersects required shard sets: rare terms touch
     // few shards, so the AND of two rare terms must touch no more shards

@@ -107,6 +107,103 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("scoredMatches: full match set, scores bit-exact vs the top-k kernel") {
+    val q = "import util_7"
+    val sm = searcher.scoredMatches(q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // the match SET is exactly matchingDocs
+    val md = searcher.matchingDocs(q).collect().map(_.getLong(0)).toSet
+    assert(sm.keySet == md && md.nonEmpty)
+    // every kernel hit's score is reproduced bit-exactly (ask for all)
+    val hits = searcher.search(q, md.size + 10).collect()
+    assert(hits.length == md.size)
+    hits.foreach(h => assert(sm(h.docId) == h.score,
+      s"doc ${h.docId}: ${sm(h.docId)} != ${h.score}"))
+    // dead term / empty query → empty, with the right schema
+    assert(searcher.scoredMatches("import zzqx_nothing").isEmpty)
+    assert(searcher.scoredMatches("").isEmpty)
+  }
+
+  test("searchSortBy: field order with docId tiebreak, over the exact match set") {
+    val q = "import util_7"
+    val res = searcher.searchSortBy(q, 15, "path", asc = true).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // independent derivation: brute-force match set joined to docs
+    val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+    val md = searcher.matchingDocs(q)
+    val want = md.join(docs, "docId")
+      .select($"docId", $"path").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (d, p) => (p, d) }.take(15).toSeq
+    assert(res.toSeq == want && want.nonEmpty)
+    // desc flips the comparator
+    val resD = searcher.searchSortBy(q, 15, "dlen", asc = false).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val wantD = md.join(docs, "docId")
+      .select($"docId", $"dlen").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy { case (d, v) => (-v, d) }.take(15).toSeq
+    assert(resD.toSeq == wantD)
+  }
+
+  test("searchCollapse: best doc per group, groups ranked by their best hit") {
+    val q = "import util_7"
+    val res = searcher.searchCollapse(q, 10, "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // independent derivation from the (already-verified) scored match set
+    val docs = spark.read.parquet(s"$indexDir/docs.parquet")
+    val best = searcher.scoredMatches(q).join(docs, "docId")
+      .select($"lang", $"docId", $"score").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (_, rows) =>
+        rows.minBy { case (_, d, s) => (-s, d) }
+      }.toSeq.sortBy { case (_, d, s) => (-s, d) }.take(10)
+    assert(res.toSeq == best && best.nonEmpty)
+    // one row per group
+    assert(res.map(_._1).distinct.length == res.length)
+    // the collapsed winner is the kernel's own top hit for its group:
+    // the global #1 hit leads the collapsed list
+    val top = searcher.search(q, 1).collect().head
+    assert(res.head._2 == top.docId && res.head._3 == top.score)
+  }
+
+  test("term range search: bounded expansion + OR scoring, rank-identical") {
+    import org.apache.spark.sql.functions.col
+    val expansion = searcher.expandTermRange(Some("util_10"), Some("util_19"))
+    assert(expansion.nonEmpty &&
+      expansion.forall(t => t >= "util_10" && t <= "util_19"),
+      s"expansion was $expansion")
+    // deterministic expansion order: df desc, term asc (the family rule)
+    val dict = spark.read.parquet(s"$indexDir/dict.parquet")
+    val want = dict.filter(col("term") >= "util_10" && col("term") <= "util_19")
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(64).select("term").as[String].collect().toSeq
+    assert(expansion == want)
+    // scoring == OR over the expansion, matches the brute-force oracle
+    val g = got(searcher.searchTermRange(Some("util_10"), Some("util_19"), 10))
+    assert(g.toSeq == oracleOr(expansion.mkString(" "), 10).toSeq)
+    // exclusive ends trim exactly the endpoint terms (uncapped so the
+    // set identity is about inclusivity, not about where the cap cuts)
+    val inclAll = searcher.expandTermRange(Some("util_10"), Some("util_19"),
+      maxExpand = 10000)
+    val exclAll = searcher.expandTermRange(Some("util_10"), Some("util_19"),
+      includeLo = false, includeHi = false, maxExpand = 10000)
+    assert(exclAll.toSet == inclAll.toSet -- Set("util_10", "util_19"))
+    // open ends: lo-only is a suffix of the dictionary, hi-only a prefix
+    val loOnly = searcher.expandTermRange(Some("zzz"), None)
+    assert(loOnly.forall(_ >= "zzz"))
+    val hiOnly = searcher.expandTermRange(None, Some("aaa"))
+    assert(hiOnly.forall(_ <= "aaa"))
+    // endpoints normalize like the tokenizer (case-insensitive)
+    assert(searcher.expandTermRange(Some("UTIL_10"), Some("UTIL_19")) ==
+      expansion)
+    // validation: both open rejected; inverted range rejected; empty window
+    intercept[IllegalArgumentException](searcher.expandTermRange(None, None))
+    intercept[IllegalArgumentException](
+      searcher.expandTermRange(Some("b"), Some("a")))
+    assert(searcher.searchTermRange(Some("zzqx_a"), Some("zzqx_b"), 5).isEmpty)
+  }
+
   test("wildcard search: glob translation + expansion + OR scoring") {
     import graft.query.Searcher.globToRegex
     // translation units: wildcards map, literals lowercase, metachars escape
