@@ -23,7 +23,12 @@ import graft.query.Searcher
   *          [--wildcard true] (glob term query `util_1?`/`ut*l`: ? = one char,
   *                            * = any run; dict-expand via regex, OR-score)
   *          [--bool true]    (boolean tree: `(a b) OR (c -d)`, `term^2` boosts,
-  *                            DISMAX groups, quoted phrases `"a b" OR c`)
+  *                            DISMAX groups, MSM m (...) minimum-should-match,
+  *                            CONST v (...) constant-score/filter clauses,
+  *                            quoted phrases `"a b" OR c`)
+  *          [--trange true]  (term range: --q "lo,hi", empty side = open end)
+  *          [--sortBy COL[:desc]] (field-sorted match set, Lucene Sort)
+  *          [--collapse COL] (best-scoring doc per COL value, Lucene grouping)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
   *          [--fuzzyPrefix P] exact-prefix pushdown for the dict scan)
   *          [--from N]       (offset pagination of the conjunctive ranking)
@@ -289,6 +294,9 @@ object Main {
         val regexMode = opts.getOrElse("regex", "false").toBoolean
         val wildcardMode = opts.getOrElse("wildcard", "false").toBoolean
         val boolMode = opts.getOrElse("bool", "false").toBoolean // e.g. --q "(a b) OR (c -d)" --bool true
+        // --trange true: --q is "lo,hi" (either side empty = open end),
+        // inclusive — Lucene TermRangeQuery `[lo TO hi]`
+        val trangeMode = opts.getOrElse("trange", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
@@ -308,7 +316,7 @@ object Main {
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "regex" -> regexMode, "wildcard" -> wildcardMode,
-          "bool" -> boolMode,
+          "bool" -> boolMode, "trange" -> trangeMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty,
@@ -330,7 +338,7 @@ object Main {
         // snippets/facets/explain/count internally use conjunctive (AND)
         // matching — reject mode flags they would silently ignore too
         for (out <- Seq("snippets", "facet", "facetRanges", "facetStats",
-               "explain", "count")
+               "explain", "count", "sortBy", "collapse")
                if opts.get(out).exists(v => v.nonEmpty && v != "false");
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -377,6 +385,30 @@ object Main {
             f"${Option(r.get(2)).getOrElse("+inf")}%-8s)  n=${r.getLong(3)}"))
           spark.stop(); return
         }
+        // --sortBy COL[:desc] — field-ordered match set (Lucene Sort)
+        opts.get("sortBy").foreach { spec =>
+          val (fc, asc) = spec.split(":", 2) match {
+            case Array(c, "desc") => (c, false)
+            case Array(c) => (c, true)
+            case Array(c, o) => sys.error(s"--sortBy order must be 'desc', got '$o'")
+          }
+          val t0 = System.nanoTime()
+          val rows = searcher.searchSortBy(q, k, fc, asc).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"query '$q' top-$k by $fc ${if (asc) "asc" else "desc"} in $ms%.0f ms")
+          rows.foreach(r => println(f"  doc=${r.getLong(0)}%-8d $fc=${r.get(1)}"))
+          spark.stop(); return
+        }
+        // --collapse COL — best-scoring doc per COL value (Lucene grouping)
+        opts.get("collapse").foreach { fc =>
+          val t0 = System.nanoTime()
+          val rows = searcher.searchCollapse(q, k, fc).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"query '$q' collapsed by $fc (top-$k groups) in $ms%.0f ms")
+          rows.foreach(r => println(
+            f"  ${r.get(0)}%-12s doc=${r.getLong(1)}%-8d score=${r.getDouble(2)}%.6f"))
+          spark.stop(); return
+        }
         if (opts.getOrElse("count", "false").toBoolean) {
           val (n, ms) = { val t0 = System.nanoTime(); val c = searcher.searchCount(q)
             (c, (System.nanoTime() - t0) / 1e6) }
@@ -394,10 +426,19 @@ object Main {
             f"idf=${r.getDouble(5)}%.4f  contrib=${r.getDouble(6)}%.6f"))
           spark.stop(); return
         }
+        // --trange: q = "lo,hi", an empty side is an open end
+        lazy val trangeBounds: (Option[String], Option[String]) =
+          q.split(",", -1) match {
+            case Array(lo, hi) =>
+              (Some(lo.trim).filter(_.nonEmpty), Some(hi.trim).filter(_.nonEmpty))
+            case _ => sys.error(s"--trange expects --q \"lo,hi\", got '$q'")
+          }
         val t0 = System.nanoTime()
         val hits = (if (phraseMode) searcher.searchPhrase(q, k)
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (regexMode) searcher.searchRegex(q, k)
+                    else if (trangeMode)
+                      searcher.searchTermRange(trangeBounds._1, trangeBounds._2, k)
                     else if (wildcardMode) searcher.searchWildcard(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
@@ -430,6 +471,9 @@ object Main {
               searcher.expandPrefix(q).mkString(" "), k)
             else if (regexMode) OracleBm25.topKOr(files,
               searcher.expandRegex(q).mkString(" "), k)
+            else if (trangeMode) OracleBm25.topKOr(files,
+              searcher.expandTermRange(trangeBounds._1, trangeBounds._2)
+                .mkString(" "), k)
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)
             else if (boolMode) OracleBm25.topKBool(files,

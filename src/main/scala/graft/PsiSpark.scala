@@ -150,4 +150,23 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
 
   /** Did-you-mean: per-token nearest dictionary term. */
   def querySuggest(q: String, maxEdits: Int = 2) = searcher.suggest(q, maxEdits)
+
+  /** Term range top-k (Lucene TermRangeQuery `[lo TO hi]`): lexicographic
+    * dictionary expansion → OR scoring. Open ends via None.
+    */
+  def queryTermRange(lo: Option[String], hi: Option[String], k: Int,
+                     includeLo: Boolean = true, includeHi: Boolean = true) =
+    searcher.searchTermRange(lo, hi, k, includeLo, includeHi)
+
+  /** Field-sorted match set (Lucene Sort(SortField)): top-k by a docs
+    * column, docId tiebreak.
+    */
+  def querySortBy(q: String, k: Int, sortCol: String, asc: Boolean = true) =
+    searcher.searchSortBy(q, k, sortCol, asc)
+
+  /** Field collapse (Lucene grouping): the best-scoring doc per value of
+    * a docs column, groups ranked by their best hit.
+    */
+  def queryCollapse(q: String, k: Int, groupCol: String) =
+    searcher.searchCollapse(q, k, groupCol)
 }

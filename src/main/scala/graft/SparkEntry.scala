@@ -422,6 +422,55 @@ object SparkEntry {
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_msm" -> ((s, dir) => {
+      // minimum-should-match (Lucene minimumNumberShouldMatch): at least
+      // 2 of {util_7, def, util_3} present; score = disjunction-sum of the
+      // matched clauses in clause order
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool("MSM 2 (util_7 def util_3)", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_const" -> ((s, dir) => {
+      // constant-score clause (Lucene ConstantScoreQuery): docs matching
+      // util_7 AND (util_3 OR util_1) score 1.0 + BM25(util_7) — the
+      // wrapped disjunction gates the match but contributes a constant
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool("CONST 1 (util_3 OR util_1) util_7", 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_trange" -> ((s, dir) => {
+      // term range query (Lucene TermRangeQuery, `[util_10 TO util_13]`):
+      // lexicographic dictionary expansion (df desc, term asc, cap 64) →
+      // disjunctive WAND scoring, the prefix/regex rewrite family
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchTermRange(Some("util_10"), Some("util_13"), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_sortby" -> ((s, dir) => {
+      // field-sorted results (Lucene Sort(SortField)): the conjunctive
+      // match set ordered by path asc with docId tiebreak, top 15 — a
+      // TakeOrdered over one docs join, never a full sort
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchSortBy(Bm25Query, 15, "path", asc = true)
+    }),
+
+    "q_bm25_collapse" -> ((s, dir) => {
+      // field collapse (Lucene grouping / Solr collapse): best-scoring doc
+      // per lang over the FULL match set, groups ranked by their best hit;
+      // scores from the distributed ascending-term fold (scoredMatches)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchCollapse(Bm25Query, 10, "lang")
+        .select(col("lang"), col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_filtered" -> ((s, dir) => {
       // metadata-filtered BM25: the filter docId list rides the galloping
       // intersection as a zero-idf list (Searcher.searchWhere)
@@ -1642,6 +1691,122 @@ object SparkEntry {
          |SELECT docid AS docId, round($mix, 9) AS score FROM cl
          |WHERE c0 IS NOT NULL OR c1 IS NOT NULL OR c2 IS NOT NULL
          |ORDER BY $mix DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // MSM 2 (util_7 def util_3): at least 2 clause hits; score is the
+    // coalesced clause-order sum — adding 0.0 for an unmatched clause is
+    // an exact IEEE identity for the positive BM25 summands, so the fold
+    // mirrors the engine's skip-unmatched accumulation bit-exactly
+    "q_bm25_msm" -> {
+      val terms = Seq("util_7", "def", "util_3")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      val matched = terms.map(t =>
+        s"(CASE WHEN s_$t IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+      val scoreSum = terms.map(t => s"COALESCE(s_$t, 0.0)").mkString(" + ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
+         |SELECT docid AS docId, round($scoreSum, 9) AS score FROM agg
+         |WHERE ($matched) >= 2
+         |ORDER BY $scoreSum DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // CONST 1 (util_3 OR util_1) util_7: the wrapped disjunction gates the
+    // match and contributes exactly 1.0; engine AND-fold = (0.0 + 1.0) +
+    // s_util_7, mirrored as 1.0 + s_util_7
+    "q_bm25_const" -> {
+      val terms = Seq("util_7", "util_3", "util_1")
+      val (k1, b) = (1.2, 0.75)
+      val termScores = terms.map { t =>
+        s"""sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$t"""
+      }.mkString(",\n  ")
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, $termScores FROM s GROUP BY docid)
+         |SELECT docid AS docId,
+         |  round(CAST(1.0 AS DOUBLE) + s_util_7, 9) AS score FROM agg
+         |WHERE s_util_7 IS NOT NULL
+         |  AND (s_util_3 IS NOT NULL OR s_util_1 IS NOT NULL)
+         |ORDER BY CAST(1.0 AS DOUBLE) + s_util_7 DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // term range [util_10, util_13] reproduced in SQL (same expansion
+    // rule: lexicographic window, df desc, term asc, LIMIT 64), then the
+    // OR-mode ascending-term list_reduce fold — the rewrite-family oracle
+    "q_bm25_trange" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |expansion AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok >= 'util_10' AND tok <= 'util_13' GROUP BY 1
+         |  ORDER BY count(*) DESC, tok LIMIT 64),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid)
+         |SELECT docid AS docId, round(raw, 9) AS score FROM agg
+         |ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // field sort: the conjunctive match set ordered by (path, docId) —
+    // no scores involved, pure match set + docs join
+    "q_bm25_sortby" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      s"""WITH $corpusCte,
+         |m AS (SELECT docid FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+         |  GROUP BY docid HAVING count(*) = ${terms.length})
+         |SELECT m.docid AS docId, d.path AS path
+         |FROM m JOIN docs d ON m.docid = d.docid
+         |ORDER BY d.path, m.docid LIMIT 15""".stripMargin
+    },
+
+    // collapse-by-lang: conjunctive per-doc scores (ascending-term
+    // list_reduce, the engine's fold order), best doc per lang by
+    // (score desc, docId asc), groups ranked by their best hit
+    "q_bm25_collapse" -> {
+      val terms = Bm25Query.split(" ").distinct.sorted
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |dfs AS (SELECT tok, count(*) AS df FROM tf
+         |  WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")}) GROUP BY 1),
+         |s AS (SELECT tf.docid, tf.tok,
+         |  ln(1.0 + ((SELECT n FROM stats) - dfs.df + 0.5) / (dfs.df + 0.5)) *
+         |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf JOIN dfs ON tf.tok = dfs.tok JOIN dl ON tf.docid = dl.docid),
+         |agg AS (SELECT docid, list_reduce(list(s ORDER BY tok), (a, b) -> a + b) AS raw
+         |  FROM s GROUP BY docid HAVING count(*) = ${terms.length}),
+         |j AS (SELECT d.lang, agg.docid, agg.raw,
+         |  row_number() OVER (PARTITION BY d.lang ORDER BY agg.raw DESC, agg.docid) AS rn
+         |  FROM agg JOIN docs d ON agg.docid = d.docid)
+         |SELECT lang, docid AS docId, round(raw, 9) AS score FROM j
+         |WHERE rn = 1 ORDER BY raw DESC, docId LIMIT 10""".stripMargin
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),
