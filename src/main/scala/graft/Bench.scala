@@ -777,6 +777,41 @@ object Bench {
       qsecs("bm25_bool_p50") = pct(lat, 0.50)
     }
 
+    // minimum-should-match trees: 2-of-3 / 2-of-4 over mixed-df clauses,
+    // riding the boolean kernel's positive-union walk + sum bounds (r5)
+    {
+      val mqs = Seq("MSM 2 (util_7 def util_3)",
+        "MSM 2 (util_1 util_2 util_3 util_7)",
+        "MSM 3 (import def val class)")
+      mqs.foreach(q => searcher.searchBool(q, 10).collect())
+      val lat = mqs.map(q => timed(searcher.searchBool(q, 10).collect())._2).sorted
+      qsecs("bm25_msm_p50") = pct(lat, 0.50)
+    }
+
+    // term-range dictionary windows: narrow, wide (cap-bound), half-open (r5)
+    {
+      val trs = Seq(
+        (Some("util_10"), Some("util_13")),
+        (Some("util_1"), Some("util_4")),
+        (Some("zz"), None: Option[String]))
+      trs.foreach { case (lo, hi) => searcher.searchTermRange(lo, hi, 10).collect() }
+      val lat = trs.map { case (lo, hi) =>
+        timed(searcher.searchTermRange(lo, hi, 10).collect())._2 }.sorted
+      qsecs("bm25_trange_p50") = pct(lat, 0.50)
+    }
+
+    // collapse + field sort: the full-match-set plan shapes (scoredMatches
+    // fold → window; matchingDocs → TakeOrdered) (r5)
+    {
+      val cq = "import util_7"
+      searcher.searchCollapse(cq, 10, "lang").collect()
+      qsecs("bm25_collapse") =
+        timed(searcher.searchCollapse(cq, 10, "lang").collect())._2
+      searcher.searchSortBy(cq, 10, "path").collect()
+      qsecs("bm25_sortby") =
+        timed(searcher.searchSortBy(cq, 10, "path").collect())._2
+    }
+
     // fuzzy expansion + OR scoring (dict distance scan dominates)
     {
       val fqs = Seq("util_7", "util_42", "import")
