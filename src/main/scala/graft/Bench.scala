@@ -812,6 +812,15 @@ object Bench {
         timed(searcher.searchSortBy(cq, 10, "path").collect())._2
     }
 
+    // synonym blending: one-scan union + integer tf-sum agg + TakeOrdered (r5)
+    {
+      val sqs = Seq(Seq("util_7", "util_17"), Seq("import", "def"),
+        Seq("util_1", "util_2", "util_3"))
+      sqs.foreach(v => searcher.searchSynonym(v, 10).collect())
+      val lat = sqs.map(v => timed(searcher.searchSynonym(v, 10).collect())._2).sorted
+      qsecs("bm25_syn_p50") = pct(lat, 0.50)
+    }
+
     // fuzzy expansion + OR scoring (dict distance scan dominates)
     {
       val fqs = Seq("util_7", "util_42", "import")

@@ -27,6 +27,8 @@ import graft.query.Searcher
   *                            CONST v (...) constant-score/filter clauses,
   *                            quoted phrases `"a b" OR c`)
   *          [--trange true]  (term range: --q "lo,hi", empty side = open end)
+  *          [--synonym true] (Lucene SynonymQuery: --q's tokens score as ONE
+  *                            term — tf summed, idf from the blended max df)
   *          [--sortBy COL[:desc]] (field-sorted match set, Lucene Sort)
   *          [--collapse COL] (best-scoring doc per COL value, Lucene grouping)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
@@ -297,6 +299,9 @@ object Main {
         // --trange true: --q is "lo,hi" (either side empty = open end),
         // inclusive — Lucene TermRangeQuery `[lo TO hi]`
         val trangeMode = opts.getOrElse("trange", "false").toBoolean
+        // --synonym true: --q's tokens are spelling variants of ONE word —
+        // Lucene SynonymQuery (tf summed, idf from the blended max df)
+        val synMode = opts.getOrElse("synonym", "false").toBoolean
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
@@ -316,7 +321,7 @@ object Main {
         val activeModes = Seq(
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "regex" -> regexMode, "wildcard" -> wildcardMode,
-          "bool" -> boolMode, "trange" -> trangeMode,
+          "bool" -> boolMode, "trange" -> trangeMode, "synonym" -> synMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty,
@@ -439,6 +444,8 @@ object Main {
                     else if (regexMode) searcher.searchRegex(q, k)
                     else if (trangeMode)
                       searcher.searchTermRange(trangeBounds._1, trangeBounds._2, k)
+                    else if (synMode)
+                      searcher.searchSynonym(q.split("\\s+").toSeq, k)
                     else if (wildcardMode) searcher.searchWildcard(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
@@ -474,6 +481,8 @@ object Main {
             else if (trangeMode) OracleBm25.topKOr(files,
               searcher.expandTermRange(trangeBounds._1, trangeBounds._2)
                 .mkString(" "), k)
+            else if (synMode)
+              OracleBm25.topKSynonym(files, q.split("\\s+").toSeq, k)
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)
             else if (boolMode) OracleBm25.topKBool(files,

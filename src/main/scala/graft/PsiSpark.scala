@@ -169,4 +169,10 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     */
   def queryCollapse(q: String, k: Int, groupCol: String) =
     searcher.searchCollapse(q, k, groupCol)
+
+  /** Synonym query (Lucene SynonymQuery): the variants score as ONE term —
+    * tf summed per doc, idf from the blended (max) df.
+    */
+  def querySynonym(variants: Seq[String], k: Int) =
+    searcher.searchSynonym(variants, k)
 }

@@ -471,6 +471,16 @@ object SparkEntry {
         .select(col("lang"), col("docId"), round(col("score"), 9).as("score"))
     }),
 
+    "q_bm25_syn" -> ((s, dir) => {
+      // synonym query (Lucene SynonymQuery): util_7 and util_17 score as
+      // ONE term — per-doc tf summed, idf from the blended (max) df — so
+      // a doc holding both spellings is never double-counted
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchSynonym(Seq("util_7", "util_17"), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
     "q_bm25_filtered" -> ((s, dir) => {
       // metadata-filtered BM25: the filter docId list rides the galloping
       // intersection as a zero-idf list (Searcher.searchWhere)
@@ -1807,6 +1817,29 @@ object SparkEntry {
          |  FROM agg JOIN docs d ON agg.docid = d.docid)
          |SELECT lang, docid AS docId, round(raw, 9) AS score FROM j
          |WHERE rn = 1 ORDER BY raw DESC, docId LIMIT 10""".stripMargin
+    },
+
+    // synonym oracle: per-doc tf SUM over the variants (exact integer sum,
+    // order-independent), idf from the blended df (max over variants),
+    // the engine's exact IEEE expression shape
+    "q_bm25_syn" -> {
+      val variants = Seq("util_17", "util_7") // sorted
+      val (k1, b) = (1.2, 0.75)
+      val inList = variants.map(t => s"'$t'").mkString(", ")
+      val score =
+        s"""ln(1.0 + ((SELECT n FROM stats) - (SELECT df FROM blend) + 0.5) / ((SELECT df FROM blend) + 0.5)) *
+           |  (CAST(tfsum AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+           |  (CAST(tfsum AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats))))""".stripMargin
+      s"""WITH $corpusCte,
+         |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+         |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+         |blend AS (SELECT max(df) AS df FROM (
+         |  SELECT tok, count(*) AS df FROM tf WHERE tok IN ($inList) GROUP BY 1)),
+         |syn AS (SELECT docid, sum(tf) AS tfsum FROM tf
+         |  WHERE tok IN ($inList) GROUP BY docid)
+         |SELECT syn.docid AS docId, round($score, 9) AS score
+         |FROM syn JOIN dl ON syn.docid = dl.docid
+         |ORDER BY $score DESC, docId LIMIT 10""".stripMargin
     },
 
     "q_bm25_batch" -> batchOracleSql(BatchQueries),

@@ -347,6 +347,44 @@ object OracleBm25 {
       .orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Top-k for a SYNONYM query (Lucene SynonymQuery semantics): the
+    * variants score as ONE term — per-doc tf is the SUM over variants
+    * (exact integer sum) and the idf uses the blended df (the MAX of the
+    * variants' dfs). Dead variants drop out; all dead = empty.
+    */
+  def topKSynonym(files: DataFrame, variants: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val terms = variants.flatMap(Tokenize.tokenize(_)).distinct.sorted
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (terms.isEmpty) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val tf = withId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val dlen = tf.groupBy("docId").agg(sum("tf").cast("int").as("dlen"))
+    val numDocs = files.count()
+    val totalTokens = dlen.agg(sum($"dlen")).as[Long].head()
+    val avgdl = totalTokens.toDouble / numDocs
+    val dfByTerm = tf.filter($"term".isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    if (dfByTerm.isEmpty) return empty
+    val idfSyn = idf(numDocs, dfByTerm.values.max) // blended df = max
+    tf.filter($"term".isin(terms: _*))
+      .groupBy("docId").agg(sum($"tf").as("tfSum"))
+      .join(dlen, "docId")
+      .select($"docId",
+        ((lit(idfSyn) * ($"tfSum".cast("double") * lit(k1 + 1.0))) /
+          ($"tfSum".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * ($"dlen".cast("double") / lit(avgdl))))).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
                        k1: Double, b: Double, conjunctive: Boolean,
                        restrictTo: Option[DataFrame] = None): DataFrame = {

@@ -1096,6 +1096,61 @@ class Searcher(spark: SparkSession, indexDir: String,
       .withColumn("mean", round($"sm".cast("double") / $"n", 9))
   }
 
+  /** Synonym query (Lucene SynonymQuery analog): the variant terms are
+    * scored as ONE term — a document's tf is the SUM of its variants' tfs
+    * and the idf uses the blended document frequency (the MAXIMUM of the
+    * variants' dfs, Lucene's rule) — so a document is never double-counted
+    * for containing several spellings of the same word, the problem
+    * SynonymQuery exists to fix (an OR would sum per-variant BM25s).
+    * Matches any document containing ANY variant; ranking is
+    * (score desc, docId asc); dead variants drop out; a single live
+    * variant degenerates to a one-term query up to the df blend.
+    *
+    * Plan shape: one predicate-pushed postings scan over the variants'
+    * lists (`term IN` + `shard IN` union), codegen'd vbyte decode, one
+    * hash aggregation summing tf per docId (an INTEGER sum — order-
+    * independent, so scores are deterministic and oracle-reproducible
+    * without a fold), one merged-lens join, one IEEE scoring expression,
+    * global TakeOrdered k. Never collected beyond the top-k.
+    */
+  def searchSynonym(variants: Seq[String], k: Int): Dataset[Hit] = {
+    graft.functions.VByteFunctions.register(spark)
+    val terms = variants.flatMap(Tokenize.tokenize(_)).distinct.sorted
+    require(terms.nonEmpty, s"synonym query normalizes to no token: $variants")
+    val info = lookupTerms(terms)
+    val live = terms.filter(t => info(t).df > 0L)
+    if (live.isEmpty) return spark.emptyDataset[Hit]
+    val candShards = live.map(t => info(t).shards)
+      .reduce(Searcher.unionSorted)
+    val dfBlend = live.map(t => info(t).df).max // Lucene's SynonymQuery df
+    val idfSyn = idf(meta.numDocs, dfBlend)
+    val dps = meta.docsPerShard
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val scored = postings
+      .filter($"term".isin(live: _*) && $"shard".isin(candShards.toSeq: _*))
+      .select(explode(arrays_zip(
+        expr("vbyte_decode_deltas(docBytes, n)").as("d"),
+        expr("vbyte_decode_ints(tfBytes, n)").as("f"))).as("p"))
+      .select($"p.d".as("docId"), $"p.f".as("tf"))
+      .groupBy("docId").agg(sum($"tf").as("tfSum")) // exact integer sum
+      .join(dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+          .groupByKey(_.shard).mapGroups((_, it) => Searcher.mergeLens(it))
+          .select($"shard", $"firstDocId", $"lens"),
+        ($"docId" / dps).cast("int") === $"shard")
+      .withColumn("dlen",
+        element_at($"lens", ($"docId" - $"firstDocId" + 1).cast("int")))
+      .select($"docId",
+        ((lit(idfSyn) * ($"tfSum".cast("double") * lit(k1 + 1.0))) /
+          ($"tfSum".cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * ($"dlen".cast("double") / lit(avgdl))))).as("score"))
+    val pruned = tombstoneDf match {
+      case Some(ts) => scored.join(ts.select("docId"), Seq("docId"), "left_anti")
+      case None => scored
+    }
+    pruned.orderBy($"score".desc, $"docId".asc).limit(k).as[Hit]
+  }
+
   /** The FULL conjunctive match set WITH exact BM25 scores, as a
     * distributed DataFrame (docId, score) — the building block for
     * operations that rank or group over every match rather than a top-k
@@ -1486,6 +1541,20 @@ object Searcher {
       else if (a(i) > b(j)) j += 1
       else { out += a(i); i += 1; j += 1 }
     }
+    out.result()
+  }
+
+  /** Union of two sorted int arrays (two-cursor merge, distinct). */
+  private[query] def unionSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) { out += a(i); i += 1 }
+      else if (a(i) > b(j)) { out += b(j); j += 1 }
+      else { out += a(i); i += 1; j += 1 }
+    }
+    while (i < a.length) { out += a(i); i += 1 }
+    while (j < b.length) { out += b(j); j += 1 }
     out.result()
   }
 

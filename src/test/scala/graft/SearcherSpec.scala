@@ -107,6 +107,36 @@ class SearcherSpec extends AnyFunSuite {
     }
   }
 
+  test("synonym query: blended df + summed tf, rank-identical to the oracle") {
+    val vs = Seq("util_7", "util_17")
+    val g = got(searcher.searchSynonym(vs, 10))
+    val w = OracleBm25.topKSynonym(files, vs, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(g.toSeq == w.toSeq && g.nonEmpty)
+    // never double-counts: a doc holding BOTH variants scores LESS than
+    // the OR's per-variant BM25 sum (tf saturates once, idf counted once)
+    val both = searcher.matchingDocs("util_7 util_17").collect()
+      .map(_.getLong(0)).toSet
+    assert(both.nonEmpty, "fixture has no doc with both variants")
+    val orScores = got(searcher.searchOr(vs.mkString(" "), 10000)).toMap
+    val synScores = got(searcher.searchSynonym(vs, 10000)).toMap
+    both.foreach(d => assert(synScores(d) < orScores(d),
+      s"doc $d: synonym ${synScores(d)} !< OR ${orScores(d)}"))
+    // match SET is the union of the variants' doc sets (same as OR)
+    assert(synScores.keySet == orScores.keySet)
+    // dead variant drops out; tf identical to the live-only query, but the
+    // df blend can only deepen (max) — here the dead term adds df 0, so
+    // the result is bit-identical to the single-variant synonym
+    assert(got(searcher.searchSynonym(Seq("util_7", "zzqx_nothing"), 10)).toSeq
+      == got(searcher.searchSynonym(Seq("util_7"), 10)).toSeq)
+    // all variants dead → empty
+    assert(searcher.searchSynonym(Seq("zzqx_a", "zzqx_b"), 5).isEmpty)
+    // single live variant vs the plain term query: same ranking order
+    // (same tf, df — identical scores)
+    assert(got(searcher.searchSynonym(Seq("util_7"), 10)).toSeq ==
+      got(searcher.search("util_7", 10)).toSeq)
+  }
+
   test("scoredMatches: full match set, scores bit-exact vs the top-k kernel") {
     val q = "import util_7"
     val sm = searcher.scoredMatches(q).collect()
