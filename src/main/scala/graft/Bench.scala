@@ -904,6 +904,14 @@ object Bench {
       timed(phraseSearcher.searchPhrase(p, 10).collect())._2).sorted
     qsecs("bm25_phrase_p50") = pct(phraseLat, 0.50)
     qsecs("bm25_phrase_p95") = pct(phraseLat, 0.95)
+    // span-first (r5): the phrase walk plus a constant-time end bound —
+    // should track bm25_phrase_p50 closely
+    locally {
+      phrases.foreach(p => phraseSearcher.searchSpanFirst(p, 10, 16).collect())
+      val lat = phrases.map(p =>
+        timed(phraseSearcher.searchSpanFirst(p, 10, 16).collect())._2).sorted
+      qsecs("bm25_spanfirst_p50") = pct(lat, 0.50)
+    }
     // proximity: same candidate walk as AND plus the min-cover sweep
     locally {
       val nears = Seq(("import util_7", 6), ("import def util_7", 10),

@@ -307,6 +307,9 @@ object Main {
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
         // --inOrder true: Lucene inOrder SpanNear (chain follows query order)
         val inOrder = opts.getOrElse("inOrder", "false").toBoolean
+        // --first N modifies --phrase: the occurrence must END within the
+        // first N token positions (Lucene SpanFirstQuery, end exclusive)
+        val spanFirstEnd = opts.get("first").map(_.toInt)
         val fuzzyEdits = opts.get("fuzzy").map(_.toInt) // e.g. --fuzzy 1 (Levenshtein edits)
         val fuzzyPrefix = opts.getOrElse("fuzzyPrefix", "0").toInt
         val fromRank = opts.getOrElse("from", "0").toInt // offset pagination
@@ -331,6 +334,8 @@ object Main {
             activeModes.map("--" + _).mkString(", "))
         if (inOrder && nearWin.isEmpty)
           sys.error("--inOrder modifies --near and cannot be used without it")
+        if (spanFirstEnd.nonEmpty && !phraseMode)
+          sys.error("--first modifies --phrase and cannot be used without it")
         // --from pages the plain conjunctive ranking only (a paged variant
         // of every other mode would silently change its contract)
         if (fromRank > 0 && activeModes.nonEmpty)
@@ -439,7 +444,9 @@ object Main {
             case _ => sys.error(s"--trange expects --q \"lo,hi\", got '$q'")
           }
         val t0 = System.nanoTime()
-        val hits = (if (phraseMode) searcher.searchPhrase(q, k)
+        val hits = (if (phraseMode) spanFirstEnd
+                      .map(searcher.searchSpanFirst(q, k, _))
+                      .getOrElse(searcher.searchPhrase(q, k))
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (regexMode) searcher.searchRegex(q, k)
                     else if (trangeMode)
@@ -470,7 +477,8 @@ object Main {
         opts.get("oracle").foreach { corpusDir =>
           val files = spark.read.parquet(s"$corpusDir/files.parquet")
           val oracleDf =
-            if (phraseMode) OracleBm25.topKPhrase(files, q, k)
+            if (phraseMode) OracleBm25.topKPhrase(files, q, k,
+              maxEnd = spanFirstEnd.getOrElse(Int.MaxValue))
             // prefix/regex rewrite to OR over the dictionary expansion; the
             // expansion rule itself is deterministic (df desc, term asc, cap)
             // and spec-tested — the CLI oracle checks the SCORING of it

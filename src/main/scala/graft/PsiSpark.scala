@@ -82,6 +82,12 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
   /** Exact-phrase top-k (requires IndexConfig(positions = true) at build). */
   def queryPhrase(q: String, k: Int) = searcher.searchPhrase(q, k)
 
+  /** Span-first top-k: the phrase must end within the first `end` token
+    * positions (Lucene SpanFirstQuery rule, 0-based, end exclusive).
+    */
+  def querySpanFirst(q: String, k: Int, end: Int) =
+    searcher.searchSpanFirst(q, k, end)
+
   /** Wildcard `prefix*` top-k (dictionary expansion → OR scoring). */
   def queryPrefix(prefix: String, k: Int) = searcher.searchPrefix(prefix, k)
 

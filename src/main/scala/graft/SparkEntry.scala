@@ -34,6 +34,10 @@ object SparkEntry {
     ("a", Bm25Query, 5), ("b", "import val", 5), ("c", "util_7", 3))
   private val PhraseQuery = Seq("import", "def")
   private val Phrase3Query = Seq("import", "def", "class")
+  // span-first gate: the phrase must END within the first SpanFirstEnd token
+  // positions (Lucene SpanFirstQuery rule, 0-based, end exclusive) — on this
+  // fixture that keeps ~4% of the phrase docs, so the bound genuinely prunes
+  private val SpanFirstEnd = 8
   // proximity gate: both terms must co-occur inside a NearWindow-token span;
   // corpus tokens are shuffled, so the window genuinely prunes conjunctive
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
@@ -503,6 +507,16 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchPhrase(Phrase3Query.mkString(" "), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_spanfirst" -> ((s, dir) => {
+      // span-first (Lucene SpanFirstQuery): the phrase must end within the
+      // first SpanFirstEnd token positions; survivors keep the phrase
+      // query's exact conjunctive BM25 scores
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchSpanFirst(PhraseQuery.mkString(" "), 10, SpanFirstEnd)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1041,8 +1055,15 @@ object SparkEntry {
     * docs (scores bit-exact: identical term set, identical ascending-term
     * sum order).
     */
-  private def phraseOracleSql(phraseTokens: Seq[String], k: Int): String = {
+  private def phraseOracleSql(phraseTokens: Seq[String], k: Int,
+                              maxEnd: Int = Int.MaxValue): String = {
     val terms = phraseTokens.distinct.sorted
+    // span-first bound: engine positions are 0-based with exclusive end;
+    // ptoks.ord is 1-based, so an m-token occurrence starting at p0.ord ends
+    // (exclusive, 0-based) at p0.ord + m - 1 — that must be <= maxEnd
+    val spanBound =
+      if (maxEnd == Int.MaxValue) ""
+      else s" AND p0.ord + ${phraseTokens.length - 1} <= $maxEnd"
     val (k1, b) = (1.2, 0.75)
     val termScores = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN s.tok = '$t' THEN s.s END) AS s_$i"
@@ -1059,7 +1080,7 @@ object SparkEntry {
        |pdocs AS (
        |  SELECT DISTINCT p0.docid FROM ptoks p0
        |  $adjJoins
-       |  WHERE p0.tok = '${phraseTokens.head}'),
+       |  WHERE p0.tok = '${phraseTokens.head}'$spanBound),
        |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
        |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
        |dfs AS (SELECT tok, count(*) AS df FROM tf
@@ -2216,6 +2237,7 @@ object SparkEntry {
     "q_bm25_near_ordered" -> nearOrderedOracleSql(NearQuery, NearOrderedWindow, 10),
 
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
+    "q_bm25_spanfirst" -> phraseOracleSql(PhraseQuery, 10, SpanFirstEnd),
 
     "q_corpus_langs" ->
       s"""SELECT lang, count(*) AS n FROM read_parquet('$FilesGlob')

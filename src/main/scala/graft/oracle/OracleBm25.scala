@@ -152,12 +152,13 @@ object OracleBm25 {
     * phrase-containing docs — same determinism contract.
     */
   def topKPhrase(files: DataFrame, phrase: String, k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 maxEnd: Int = Int.MaxValue): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     val tokens = Tokenize.tokenize(phrase).toSeq
     val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
-    if (tokens.isEmpty) return empty
+    if (tokens.isEmpty || maxEnd < tokens.length) return empty
     val withId = files.withColumn("docId",
       (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
     val ptoks = withId
@@ -169,6 +170,11 @@ object OracleBm25 {
       cand = cand.join(next, cand("docId") === $"d2" && $"o2" === cand("ord") + j)
         .select(cand("docId"), cand("ord"))
     }
+    // span-first bound: posexplode ords are 0-based, so an occurrence
+    // starting at `ord` has exclusive span end ord + m — Lucene
+    // SpanFirstQuery keeps it iff that end is <= maxEnd
+    if (maxEnd != Int.MaxValue)
+      cand = cand.filter(cand("ord") + tokens.length <= maxEnd)
     val phraseDocs = cand.select("docId").distinct()
     topKImpl(files, tokens.distinct.sorted.mkString(" "), k, k1, b,
       conjunctive = true, restrictTo = Some(phraseDocs))

@@ -376,9 +376,30 @@ class Searcher(spark: SparkSession, indexDir: String,
     * the identical determinism contract as `search` (ascending-term
     * accumulation, (score desc, docId asc) tiebreak).
     */
-  def searchPhrase(phrase: String, k: Int): Dataset[Hit] = {
+  def searchPhrase(phrase: String, k: Int): Dataset[Hit] =
+    searchPhraseImpl(phrase, k, Int.MaxValue)
+
+  /** Span-first top-k (Lucene SpanFirstQuery analog): the exact phrase —
+    * one token or several consecutive ones — must occur with its span
+    * ENDING within the first `end` token positions of the document
+    * (Lucene's rule: span.end ≤ end, 0-based positions, end exclusive —
+    * so a single term matches among the first `end` tokens, an m-token
+    * phrase must START at position ≤ end − m). The classic "title/header
+    * match" heuristic for documents whose lead tokens matter most.
+    * Survivors score plain conjunctive BM25 over the distinct members —
+    * the same contract as [[searchPhrase]], which is exactly this query
+    * with an unbounded `end`. Requires a positional index.
+    */
+  def searchSpanFirst(phrase: String, k: Int, end: Int): Dataset[Hit] = {
+    require(end >= 1, s"span-first end must be >= 1, got $end")
+    searchPhraseImpl(phrase, k, end)
+  }
+
+  private def searchPhraseImpl(phrase: String, k: Int,
+                               maxEnd: Int): Dataset[Hit] = {
     val tokenSeq = Tokenize.tokenize(phrase).toSeq
-    if (tokenSeq.isEmpty) return spark.emptyDataset[Hit]
+    if (tokenSeq.isEmpty || maxEnd < tokenSeq.length)
+      return spark.emptyDataset[Hit]
     require(postings.columns.contains("posBytes"),
       "phrase search requires a positional index (IndexConfig(positions = true))")
     val terms = tokenSeq.distinct.sorted
@@ -395,7 +416,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
     val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
-    val (seqB, termsB) = (tokenSeq, terms)
+    val (seqB, termsB, endB) = (tokenSeq, terms, maxEnd)
     val (accT, accS) = (shardsTouched, candidatesScored)
     val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
       (shard, segIt, lenIt) =>
@@ -408,7 +429,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         else {
           accT.add(1)
           Searcher.scoreShardPhrase(segsByTerm, Searcher.mergeLens(lenIt),
-            seqB, termsB, idfByTerm, k1, b, avgdl, k, accS, deleted)
+            seqB, termsB, idfByTerm, k1, b, avgdl, k, accS, deleted, endB)
         }
     }
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -1679,7 +1700,8 @@ object Searcher {
                        termsSorted: Seq[String], idfByTerm: Map[String, Double],
                        k1: Double, b: Double, avgdl: Double, k: Int,
                        accScored: LongAccumulator = null,
-                       deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+                       deleted: Array[Long] = Array.emptyLongArray,
+                       maxEnd: Int = Int.MaxValue): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     // candidates that survive the conjunctive intersection (i.e. reach the
     // adjacency check) — the same "scored" meaning search() reports
@@ -1730,7 +1752,10 @@ object Searcher {
           cur = out.result()
           j += 1
         }
-        if (cur.nonEmpty) {
+        // span-first bound (Lucene SpanFirstQuery): `cur` holds the
+        // LAST-token positions of complete chains, ascending — the span's
+        // exclusive end is cur(0)+1, so the earliest occurrence decides
+        if (cur.nonEmpty && cur(0) + 1 <= maxEnd) {
           var score = 0.0
           val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
           var i = 0

@@ -158,6 +158,46 @@ class PhraseSpec extends AnyFunSuite {
   private def got2(ds: org.apache.spark.sql.Dataset[Hit]) =
     ds.collect().map(h => (h.docId, h.score))
 
+  test("span-first: the occurrence must end within the first N positions") {
+    import org.apache.spark.sql.expressions.Window
+    val s = new Searcher(spark, posIndex)
+    // unbounded end ≡ plain phrase query, bit-exact
+    assert(s.searchSpanFirst("import def", 10, 1000000).collect().toSeq ==
+      s.searchPhrase("import def", 10).collect().toSeq)
+    // independent match-set derivation from the raw text (0-based
+    // positions; Lucene rule: span end = last position + 1 must be <= end)
+    val end = 12
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val docsToks = withId.select($"docId", $"content").as[(Long, String)]
+      .collect().map { case (d, c) => (d, Tokenize.tokenize(c).toSeq) }
+    val want = docsToks.collect { case (d, toks)
+      if toks.sliding(2).zipWithIndex.exists { case (w, i) =>
+        w == Seq("import", "def") && i + 2 <= end } => d }.toSet
+    val got = s.searchSpanFirst("import def", 10000, end).collect()
+      .map(_.docId).toSet
+    assert(got == want && want.nonEmpty, s"got $got want $want")
+    // strictly narrower than the unbounded phrase on this fixture, and
+    // survivors keep the phrase query's bit-identical scores
+    val phrase = s.searchPhrase("import def", 10000).collect()
+      .map(h => h.docId -> h.score).toMap
+    assert(want.subsetOf(phrase.keySet) && want != phrase.keySet)
+    s.searchSpanFirst("import def", 10000, end).collect()
+      .foreach(h => assert(h.score == phrase(h.docId)))
+    // single term: present among the first `end` tokens
+    val wantT = docsToks.collect {
+      case (d, toks) if toks.take(end).contains("util_7") => d }.toSet
+    val gotT = s.searchSpanFirst("util_7", 10000, end).collect()
+      .map(_.docId).toSet
+    assert(gotT == wantT && wantT.nonEmpty)
+    // monotone in end; end below the token count unsatisfiable; end >= 1
+    val narrower = s.searchSpanFirst("import def", 10000, 6).collect()
+      .map(_.docId).toSet
+    assert(narrower.subsetOf(want))
+    assert(s.searchSpanFirst("import def", 5, 1).isEmpty)
+    intercept[IllegalArgumentException](s.searchSpanFirst("import", 5, 0))
+  }
+
   test("proximity search degenerate windows") {
     val s = new Searcher(spark, posIndex)
     def got(ds: org.apache.spark.sql.Dataset[Hit]) =
