@@ -912,6 +912,18 @@ object Bench {
         timed(phraseSearcher.searchSpanFirst(p, 10, 16).collect())._2).sorted
       qsecs("bm25_spanfirst_p50") = pct(lat, 0.50)
     }
+    // multi-phrase (r5): slot-union merge + the same chain kernel — tracks
+    // bm25_phrase_p50 plus the per-slot k-way position merge
+    locally {
+      val mps = Seq(
+        Seq(Seq("import"), Seq("def", "class")),
+        Seq(Seq("def", "val"), Seq("class")),
+        Seq(Seq("import"), Seq("def"), Seq("class", "val")))
+      mps.foreach(sl => phraseSearcher.searchMultiPhrase(sl, 10).collect())
+      val lat = mps.map(sl =>
+        timed(phraseSearcher.searchMultiPhrase(sl, 10).collect())._2).sorted
+      qsecs("bm25_mphrase_p50") = pct(lat, 0.50)
+    }
     // proximity: same candidate walk as AND plus the min-cover sweep
     locally {
       val nears = Seq(("import util_7", 6), ("import def util_7", 10),

@@ -29,6 +29,9 @@ import graft.query.Searcher
   *          [--trange true]  (term range: --q "lo,hi", empty side = open end)
   *          [--synonym true] (Lucene SynonymQuery: --q's tokens score as ONE
   *                            term — tf summed, idf from the blended max df)
+  *          [--mphrase true] (Lucene MultiPhraseQuery: --q "import def|class"
+  *                            — slots split on spaces, alternatives on '|';
+  *                            adjacency over slot unions, synonym scoring)
   *          [--sortBy COL[:desc]] (field-sorted match set, Lucene Sort)
   *          [--collapse COL] (best-scoring doc per COL value, Lucene grouping)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
@@ -302,6 +305,13 @@ object Main {
         // --synonym true: --q's tokens are spelling variants of ONE word —
         // Lucene SynonymQuery (tf summed, idf from the blended max df)
         val synMode = opts.getOrElse("synonym", "false").toBoolean
+        // --mphrase true: --q is a multi-phrase "import def|class" — slots
+        // split on whitespace, per-slot alternatives on '|' (Lucene
+        // MultiPhraseQuery: adjacency over slot unions, synonym scoring)
+        val mphraseMode = opts.getOrElse("mphrase", "false").toBoolean
+        lazy val mphraseSlots: Seq[Seq[String]] =
+          q.split("\\s+").toSeq.filter(_.nonEmpty)
+            .map(_.split("\\|").toSeq.filter(_.nonEmpty))
         val whereExpr = opts.get("where") // e.g. --where "lang = 'scala'"
         val notExpr = opts.get("not").filter(_.nonEmpty) // e.g. --not "deprecated"
         val nearWin = opts.get("near").map(_.toInt) // e.g. --near 8 (proximity window)
@@ -325,6 +335,7 @@ object Main {
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "regex" -> regexMode, "wildcard" -> wildcardMode,
           "bool" -> boolMode, "trange" -> trangeMode, "synonym" -> synMode,
+          "mphrase" -> mphraseMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty,
@@ -453,6 +464,8 @@ object Main {
                       searcher.searchTermRange(trangeBounds._1, trangeBounds._2, k)
                     else if (synMode)
                       searcher.searchSynonym(q.split("\\s+").toSeq, k)
+                    else if (mphraseMode)
+                      searcher.searchMultiPhrase(mphraseSlots, k)
                     else if (wildcardMode) searcher.searchWildcard(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
@@ -491,6 +504,8 @@ object Main {
                 .mkString(" "), k)
             else if (synMode)
               OracleBm25.topKSynonym(files, q.split("\\s+").toSeq, k)
+            else if (mphraseMode)
+              OracleBm25.topKMultiPhrase(files, mphraseSlots, k)
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)
             else if (boolMode) OracleBm25.topKBool(files,

@@ -181,4 +181,11 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     */
   def querySynonym(variants: Seq[String], k: Int) =
     searcher.searchSynonym(variants, k)
+
+  /** Multi-phrase query (Lucene MultiPhraseQuery): each position holds a
+    * set of alternative terms; adjacency over slot unions, synonym-blended
+    * scoring per distinct slot. Requires a positional index.
+    */
+  def queryMultiPhrase(slots: Seq[Seq[String]], k: Int) =
+    searcher.searchMultiPhrase(slots, k)
 }

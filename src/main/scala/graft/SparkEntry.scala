@@ -38,6 +38,9 @@ object SparkEntry {
   // positions (Lucene SpanFirstQuery rule, 0-based, end exclusive) — on this
   // fixture that keeps ~4% of the phrase docs, so the bound genuinely prunes
   private val SpanFirstEnd = 8
+  // multi-phrase gate: position 0 = import, position 1 = def OR class
+  // (Lucene MultiPhraseQuery) — strictly wider than either plain phrase
+  private val MultiPhraseSlots = Seq(Seq("import"), Seq("def", "class"))
   // proximity gate: both terms must co-occur inside a NearWindow-token span;
   // corpus tokens are shuffled, so the window genuinely prunes conjunctive
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
@@ -507,6 +510,15 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchPhrase(Phrase3Query.mkString(" "), 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_mphrase" -> ((s, dir) => {
+      // multi-phrase (Lucene MultiPhraseQuery): alternatives per position,
+      // chained over slot-union position lists; synonym-blended scoring
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchMultiPhrase(MultiPhraseSlots, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1055,6 +1067,65 @@ object SparkEntry {
     * docs (scores bit-exact: identical term set, identical ascending-term
     * sum order).
     */
+  /** DuckDB oracle for multi-phrase: the adjacency chain accepts ANY member
+    * of each slot's alternative set; survivors score the synonym contract
+    * per distinct slot (tf summed over members, idf from the blended max
+    * member df), summed in ascending slot-key order — the kernel's exact
+    * accumulation (Searcher.scoreShardMultiPhrase).
+    */
+  private def multiPhraseOracleSql(slots: Seq[Seq[String]], k: Int): String = {
+    val slotTerms = slots.map(_.distinct.sorted)
+    val allTerms = slotTerms.flatten.distinct.sorted
+    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+    val (k1, b) = (1.2, 0.75)
+    // adjacency joins run over `occ` (occurrences of QUERY terms only) —
+    // self-joining the raw per-token list spills unboundedly in DuckDB
+    val adjJoins = slotTerms.zipWithIndex.drop(1).map { case (ts, j) =>
+      s"JOIN occ p$j ON p$j.docid = p0.docid AND p$j.ord = p0.ord + $j AND p$j.tok IN (${inList(ts)})"
+    }.mkString("\n  ")
+    val distinctSlots = slotTerms.map(ms => ms.mkString("|") -> ms)
+      .distinctBy(_._1).sortBy(_._1).map(_._2)
+    // one tiny CTE per distinct slot for the blended idf and the summed tf —
+    // everything downstream of the MATERIALIZED filtered CTEs (a correlated
+    // scalar-subquery formulation re-derived the full-corpus token CTEs per
+    // reference and per ORDER BY re-evaluation; DuckDB spilled unboundedly)
+    val slotCtes = distinctSlots.zipWithIndex.map { case (ms, i) =>
+      s"""idf$i AS (SELECT ln(1.0 + ((SELECT n FROM stats) - max(df) + 0.5) /
+         |  (max(df) + 0.5)) AS v FROM dfs WHERE tok IN (${inList(ms)})),
+         |slot$i AS (SELECT docid, sum(tf) AS tfs FROM tfm
+         |  WHERE tok IN (${inList(ms)}) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val scoreSum = distinctSlots.indices.map { i =>
+      s"""((SELECT v FROM idf$i) *
+         |  (CAST(slot$i.tfs AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(slot$i.tfs AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dlm.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))))""".stripMargin
+    }.mkString(" +\n")
+    val slotJoins = distinctSlots.indices
+      .map(i => s"JOIN slot$i ON slot$i.docid = pdocs.docid").mkString("\n  ")
+    s"""WITH $corpusCte,
+       |ptoks AS (
+       |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+       |  FROM docs),
+       |occ AS MATERIALIZED (SELECT docid, ord, tok FROM ptoks
+       |  WHERE tok IN (${inList(allTerms)})),
+       |pdocs AS (
+       |  SELECT DISTINCT p0.docid FROM occ p0
+       |  $adjJoins
+       |  WHERE p0.tok IN (${inList(slotTerms.head)})),
+       |tfm AS MATERIALIZED (SELECT docid, tok, tf FROM tf
+       |  WHERE tok IN (${inList(allTerms)})),
+       |dlm AS MATERIALIZED (SELECT docid, dlen FROM dl),
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dlm) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tfm GROUP BY 1),
+       |$slotCtes,
+       |scored AS (SELECT pdocs.docid AS docId, $scoreSum AS s
+       |  FROM pdocs $slotJoins JOIN dlm ON dlm.docid = pdocs.docid)
+       |SELECT docId, round(s, 9) AS score FROM scored
+       |ORDER BY s DESC, docId LIMIT $k""".stripMargin
+  }
+
   private def phraseOracleSql(phraseTokens: Seq[String], k: Int,
                               maxEnd: Int = Int.MaxValue): String = {
     val terms = phraseTokens.distinct.sorted
@@ -2238,6 +2309,7 @@ object SparkEntry {
 
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
     "q_bm25_spanfirst" -> phraseOracleSql(PhraseQuery, 10, SpanFirstEnd),
+    "q_bm25_mphrase" -> multiPhraseOracleSql(MultiPhraseSlots, 10),
 
     "q_corpus_langs" ->
       s"""SELECT lang, count(*) AS n FROM read_parquet('$FilesGlob')

@@ -391,6 +391,65 @@ object OracleBm25 {
       .limit(k)
   }
 
+  /** Brute-force multi-phrase oracle (Lucene MultiPhraseQuery): the chain
+    * self-joins accept ANY member of the slot's alternative set at each
+    * ordinal; survivors score the synonym contract per distinct slot (tf
+    * summed over present members, idf from the blended max member df),
+    * summed in ascending slot-key order — matches
+    * `Searcher.searchMultiPhrase` bit-exactly.
+    */
+  def topKMultiPhrase(files: DataFrame, slots: Seq[Seq[String]], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val slotTerms = slots.map(_.flatMap(Tokenize.tokenize(_)).distinct.sorted)
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (slotTerms.isEmpty || slotTerms.exists(_.isEmpty)) return empty
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val ptoks = withId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+    var cand = ptoks.filter($"term".isin(slotTerms.head: _*))
+      .select($"docId", $"ord")
+    slotTerms.zipWithIndex.drop(1).foreach { case (ts, j) =>
+      val next = ptoks.filter($"term".isin(ts: _*))
+        .select($"docId".as("d2"), $"ord".as("o2"))
+      cand = cand.join(next, cand("docId") === $"d2" && $"o2" === cand("ord") + j)
+        .select(cand("docId"), cand("ord"))
+    }
+    val pdocs = cand.select("docId").distinct()
+    val tf = withId
+      .select($"docId", explode(Tokenize.termsCol($"content")).as("term"))
+      .groupBy("docId", "term").agg(count(lit(1)).cast("int").as("tf"))
+    val dlen = tf.groupBy("docId").agg(sum("tf").cast("int").as("dlen"))
+    val numDocs = files.count()
+    val avgdl = dlen.agg(sum($"dlen")).as[Long].head().toDouble / numDocs
+    val allTerms = slotTerms.flatten.distinct
+    val dfByTerm = tf.filter($"term".isin(allTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val liveSlots = slotTerms.map(_.filter(dfByTerm.contains))
+    if (liveSlots.exists(_.isEmpty)) return empty
+    // distinct slots in ascending key order — the kernel's score-sum order
+    val distinctSlots = liveSlots.map(ms => ms.mkString("|") -> ms)
+      .distinctBy(_._1).sortBy(_._1)
+    var joined = pdocs.join(dlen, "docId")
+    val slotCols = distinctSlots.zipWithIndex.map { case ((key, members), i) =>
+      val slotTf = tf.filter($"term".isin(members: _*))
+        .groupBy("docId").agg(sum($"tf").as(s"tfs_$i"))
+      joined = joined.join(slotTf, "docId")
+      val idfS = idf(numDocs, members.map(dfByTerm).max)
+      (lit(idfS) * (col(s"tfs_$i").cast("double") * lit(k1 + 1.0))) /
+        (col(s"tfs_$i").cast("double") +
+          lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * ($"dlen".cast("double") / lit(avgdl))))
+    }
+    joined
+      .select($"docId", slotCols.reduce(_ + _).as("score"))
+      .orderBy($"score".desc, $"docId".asc)
+      .limit(k)
+  }
+
   private def topKImpl(files: DataFrame, query: String, k: Int,
                        k1: Double, b: Double, conjunctive: Boolean,
                        restrictTo: Option[DataFrame] = None): DataFrame = {

@@ -435,6 +435,69 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Multi-phrase top-k (Lucene MultiPhraseQuery): a phrase whose every
+    * position holds a SET of alternative terms — `Seq(Seq("import"),
+    * Seq("def", "class"))` matches "import def" OR "import class" runs.
+    * Matching is the exact positional chain over per-slot UNION position
+    * lists; survivors score the synonym contract per distinct slot (tf
+    * summed over present members, idf from the blended max member df —
+    * [[searchSynonym]]), summed in ascending slot-key order. Degenerate
+    * forms are bit-exact: all-singleton slots ≡ [[searchPhrase]], one
+    * multi-term slot ≡ [[searchSynonym]]. A slot whose every alternative
+    * is absent from the dictionary cannot match (the Lucene rule).
+    * Requires a positional index.
+    */
+  def searchMultiPhrase(slots: Seq[Seq[String]], k: Int): Dataset[Hit] = {
+    val slotTerms: Seq[Seq[String]] =
+      slots.map(_.flatMap(t => Tokenize.tokenize(t)).distinct.sorted)
+    require(slots.nonEmpty && slotTerms.forall(_.nonEmpty),
+      s"every multi-phrase slot needs at least one token: $slots")
+    require(postings.columns.contains("posBytes"),
+      "multi-phrase search requires a positional index (IndexConfig(positions = true))")
+    val allTerms = slotTerms.flatten.distinct.sorted
+    val info = lookupTerms(allTerms)
+    // a dead alternative is dropped; a slot with NO live alternative is
+    // unsatisfiable (every chain needs one member at that position)
+    val liveSlots = slotTerms.map(_.filter(t => info(t).df > 0L))
+    if (liveSlots.exists(_.isEmpty)) return spark.emptyDataset[Hit]
+    val slotKeys = liveSlots.map(_.mkString("|"))
+    val idfBySlot: Map[String, Double] =
+      slotKeys.zip(liveSlots).toMap.map { case (key, members) =>
+        key -> idf(meta.numDocs, members.map(t => info(t).df).max)
+      }
+    val candShards: Array[Int] = liveSlots
+      .map(_.map(t => info(t).shards).reduce(Searcher.unionSorted))
+      .reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+    val liveTerms = liveSlots.flatten.distinct.sorted
+    val segsC = postings.filter($"term".isin(liveTerms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
+      .unionByName(exclusionSegs(candShards.toSeq)
+        .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val slotSeqB = slotKeys.zip(liveSlots)
+    val (accT, accS) = (shardsTouched, candidatesScored)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del.map(s =>
+          PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
+        val segsByTerm = rest.groupBy(_.term)
+        // every slot needs a live member IN THIS SHARD to chain
+        if (!lenIt.hasNext ||
+            slotSeqB.exists(!_._2.exists(segsByTerm.contains)))
+          Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardMultiPhrase(segsByTerm, Searcher.mergeLens(lenIt),
+            slotSeqB, idfBySlot, k1, b, avgdl, k, accS, deleted)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   /** Proximity top-k BM25 (`a NEAR/w b …`): candidates must contain ALL
     * query terms (the same galloping conjunctive intersection as `search`)
     * AND some span of at most `window` consecutive tokens must contain at
@@ -1702,15 +1765,121 @@ object Searcher {
                        accScored: LongAccumulator = null,
                        deleted: Array[Long] = Array.emptyLongArray,
                        maxEnd: Int = Int.MaxValue): Iterator[Hit] = {
-    val k1p1 = k1 + 1.0
-    // candidates that survive the conjunctive intersection (i.e. reach the
-    // adjacency check) — the same "scored" meaning search() reports
-    var scored = 0L
     val lists: Array[PosList] =
       termsSorted.map(t =>
         withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray
     val byTerm = lists.map(l => l.term -> l).toMap
     val seqLists = tokenSeq.map(byTerm).toArray
+    chainTopK(lists, seqLists, lens, idfByTerm, k1, b, avgdl, k,
+      accScored, maxEnd)
+  }
+
+  /** Multi-phrase scoring for one shard (Lucene MultiPhraseQuery): each
+    * query position holds a SET of alternative terms; a doc matches when
+    * some run of consecutive token positions takes one alternative per
+    * slot. Implemented by merging every slot's member position lists into
+    * ONE union list (token positions of distinct terms are disjoint, so
+    * per-doc tf_slot = Σ member tf = merged-position count) and running the
+    * identical chain kernel over slot lists. Survivors score the synonym
+    * contract per distinct slot — tf summed, idf from the blended max df
+    * ([[Searcher.searchSynonym]]) — summed in ascending slot-key order.
+    */
+  def scoreShardMultiPhrase(segsByTerm: Map[String, Array[PostingSegP]],
+                            lens: ShardLens, slotSeq: Seq[(String, Seq[String])],
+                            idfBySlot: Map[String, Double],
+                            k1: Double, b: Double, avgdl: Double, k: Int,
+                            accScored: LongAccumulator = null,
+                            deleted: Array[Long] = Array.emptyLongArray,
+                            maxEnd: Int = Int.MaxValue): Iterator[Hit] = {
+    val byKey: Map[String, PosList] =
+      slotSeq.groupBy(_._1).map { case (key, slots) =>
+        val members = slots.head._2.filter(segsByTerm.contains)
+        key -> mergeSlotLists(key, members.map(t =>
+          withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray)
+      }
+    // a slot with no live member in this shard (or all members deleted)
+    // cannot chain — the empty merged list makes the lead walk a no-op
+    val lists = byKey.keys.toArray.sorted.map(byKey)
+    val seqLists = slotSeq.map(s => byKey(s._1)).toArray
+    chainTopK(lists, seqLists, lens, idfBySlot, k1, b, avgdl, k,
+      accScored, maxEnd)
+  }
+
+  /** Ascending merge of member position lists into one slot-union PosList.
+    * Docs are the union; per-doc positions are the k-way ascending merge
+    * (disjoint across distinct terms, so no dedup); per-doc tf is the
+    * merged count. `key` becomes the list's term so the chain kernel's
+    * idf lookup and deterministic ordering work unchanged.
+    */
+  private[graft] def mergeSlotLists(key: String,
+                                    members: Array[PosList]): PosList = {
+    if (members.length == 1)
+      return members.head.copy(term = key)
+    val docsB = Array.newBuilder[Long]
+    val tfsB = Array.newBuilder[Int]
+    val flatB = Array.newBuilder[Int]
+    val idx = new Array[Int](members.length)
+    var more = members.exists(_.docs.nonEmpty)
+    while (more) {
+      var doc = Long.MaxValue
+      var mi = 0
+      while (mi < members.length) {
+        val m = members(mi)
+        if (idx(mi) < m.docs.length && m.docs(idx(mi)) < doc)
+          doc = m.docs(idx(mi))
+        mi += 1
+      }
+      if (doc == Long.MaxValue) more = false
+      else {
+        // gather this doc's positions from every member holding it
+        var tf = 0
+        val posParts = Array.newBuilder[(Array[Int], Int, Int)]
+        mi = 0
+        while (mi < members.length) {
+          val m = members(mi)
+          if (idx(mi) < m.docs.length && m.docs(idx(mi)) == doc) {
+            val s = m.off(idx(mi)); val e = m.off(idx(mi) + 1)
+            posParts += ((m.flat, s, e))
+            tf += e - s
+            idx(mi) += 1
+          }
+          mi += 1
+        }
+        val parts = posParts.result()
+        if (parts.length == 1) {
+          val (a, s, e) = parts(0)
+          var x = s; while (x < e) { flatB += a(x); x += 1 }
+        } else {
+          val merged = new Array[Int](tf)
+          var w = 0
+          parts.foreach { case (a, s, e) =>
+            var x = s; while (x < e) { merged(w) = a(x); w += 1; x += 1 } }
+          java.util.Arrays.sort(merged)
+          flatB ++= merged
+        }
+        docsB += doc
+        tfsB += tf
+      }
+    }
+    val tfs = tfsB.result()
+    PosList(key, docsB.result(), tfs, flatB.result(), Codec.prefixSums(tfs))
+  }
+
+  /** The shared positional chain kernel: galloping conjunctive intersection
+    * over `lists` (distinct, ascending-key — the deterministic score-sum
+    * order), ordered-adjacency verification over `seqLists` (one list per
+    * query position, aliasing `lists` entries), optional span-first bound,
+    * then exact BM25 with per-list idf.
+    */
+  private def chainTopK(lists: Array[PosList], seqLists: Array[PosList],
+                        lens: ShardLens, idfByTerm: Map[String, Double],
+                        k1: Double, b: Double, avgdl: Double, k: Int,
+                        accScored: LongAccumulator,
+                        maxEnd: Int): Iterator[Hit] = {
+    val k1p1 = k1 + 1.0
+    // candidates that survive the conjunctive intersection (i.e. reach the
+    // adjacency check) — the same "scored" meaning search() reports
+    var scored = 0L
     val byLen = lists.sortBy(_.docs.length)
     val lead = byLen(0)
     val others = byLen.drop(1)

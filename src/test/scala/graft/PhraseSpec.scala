@@ -198,6 +198,58 @@ class PhraseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.searchSpanFirst("import", 5, 0))
   }
 
+  test("multi-phrase: alternatives per position, synonym-blended scoring") {
+    val s = new Searcher(spark, posIndex)
+    // independent match-set derivation from the raw text: position 0 is
+    // 'import', position 1 is 'def' OR 'class'
+    import org.apache.spark.sql.expressions.Window
+    val slots = Seq(Seq("import"), Seq("def", "class"))
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val docsToks = withId.select($"docId", $"content").as[(Long, String)]
+      .collect().map { case (d, c) => (d, Tokenize.tokenize(c).toSeq) }
+    val want = docsToks.collect { case (d, toks)
+      if toks.sliding(2).exists(w =>
+        w.head == "import" && (w(1) == "def" || w(1) == "class")) => d }.toSet
+    val got = s.searchMultiPhrase(slots, 100000).collect()
+    assert(got.map(_.docId).toSet == want && want.nonEmpty)
+    // strictly wider than either single phrase on this fixture, and
+    // rank-identical to the brute-force oracle (scores bit-exact)
+    val phraseDocs = s.searchPhrase("import def", 100000).collect()
+      .map(_.docId).toSet
+    assert(phraseDocs.subsetOf(want) && phraseDocs != want)
+    val oracle = OracleBm25.topKMultiPhrase(files, slots, 50).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val gotTop = s.searchMultiPhrase(slots, 50).collect()
+      .map(h => (h.docId, h.score))
+    assert(gotTop.sameElements(oracle),
+      s"\n got  ${gotTop.toSeq}\n want ${oracle.toSeq}")
+  }
+
+  test("multi-phrase degenerate forms are bit-exact") {
+    val s = new Searcher(spark, posIndex)
+    // all-singleton slots ≡ searchPhrase
+    assert(s.searchMultiPhrase(Seq(Seq("import"), Seq("def")), 20).collect().toSeq ==
+      s.searchPhrase("import def", 20).collect().toSeq)
+    // one multi-term slot ≡ searchSynonym (tf summed, blended max df)
+    assert(s.searchMultiPhrase(Seq(Seq("util_7", "util_17")), 20).collect().toSeq ==
+      s.searchSynonym(Seq("util_7", "util_17"), 20).collect().toSeq)
+    // dead alternatives are dropped without changing the match set...
+    assert(s.searchMultiPhrase(
+      Seq(Seq("import"), Seq("def", "zzqx_nothing")), 20).collect().toSeq ==
+      s.searchPhrase("import def", 20).collect().toSeq)
+    // ...but a slot with NO live alternative is unsatisfiable
+    assert(s.searchMultiPhrase(
+      Seq(Seq("import"), Seq("zzqx_nothing")), 20).isEmpty)
+    // duplicate slots score once per distinct slot (phrase's distinct-terms
+    // rule lifted to slots): "import import" ≡ multi [import][import]
+    assert(s.searchMultiPhrase(Seq(Seq("import"), Seq("import")), 20)
+      .collect().toSeq ==
+      s.searchPhrase("import import", 20).collect().toSeq)
+    intercept[IllegalArgumentException](
+      s.searchMultiPhrase(Seq(Seq("import"), Seq("  ")), 5))
+  }
+
   test("proximity search degenerate windows") {
     val s = new Searcher(spark, posIndex)
     def got(ds: org.apache.spark.sql.Dataset[Hit]) =
