@@ -32,6 +32,9 @@ import graft.query.Searcher
   *          [--mphrase true] (Lucene MultiPhraseQuery: --q "import def|class"
   *                            — slots split on spaces, alternatives on '|';
   *                            adjacency over slot unions, synonym scoring)
+  *          [--pphrase true] (match_phrase_prefix: --q's LAST token is an
+  *                            open prefix, dictionary-expanded into the
+  *                            final multi-phrase slot — search-as-you-type)
   *          [--sortBy COL[:desc]] (field-sorted match set, Lucene Sort)
   *          [--collapse COL] (best-scoring doc per COL value, Lucene grouping)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
@@ -309,6 +312,9 @@ object Main {
         // split on whitespace, per-slot alternatives on '|' (Lucene
         // MultiPhraseQuery: adjacency over slot unions, synonym scoring)
         val mphraseMode = opts.getOrElse("mphrase", "false").toBoolean
+        // --pphrase true: --q's last token is an open prefix (Elasticsearch
+        // match_phrase_prefix / Lucene MultiPhrasePrefixQuery)
+        val pphraseMode = opts.getOrElse("pphrase", "false").toBoolean
         lazy val mphraseSlots: Seq[Seq[String]] =
           q.split("\\s+").toSeq.filter(_.nonEmpty)
             .map(_.split("\\|").toSeq.filter(_.nonEmpty))
@@ -335,7 +341,7 @@ object Main {
           "or" -> orMode, "phrase" -> phraseMode, "prefix" -> prefixMode,
           "regex" -> regexMode, "wildcard" -> wildcardMode,
           "bool" -> boolMode, "trange" -> trangeMode, "synonym" -> synMode,
-          "mphrase" -> mphraseMode,
+          "mphrase" -> mphraseMode, "pphrase" -> pphraseMode,
           "where" -> whereExpr.exists(_.nonEmpty),
           "not" -> notExpr.nonEmpty,
           "near" -> nearWin.nonEmpty,
@@ -466,6 +472,8 @@ object Main {
                       searcher.searchSynonym(q.split("\\s+").toSeq, k)
                     else if (mphraseMode)
                       searcher.searchMultiPhrase(mphraseSlots, k)
+                    else if (pphraseMode)
+                      searcher.searchPhrasePrefix(q, k)
                     else if (wildcardMode) searcher.searchWildcard(q, k)
                     else if (boolMode) searcher.searchBool(q, k)
                     else if (orMode) searcher.searchOr(q, k)
@@ -506,6 +514,14 @@ object Main {
               OracleBm25.topKSynonym(files, q.split("\\s+").toSeq, k)
             else if (mphraseMode)
               OracleBm25.topKMultiPhrase(files, mphraseSlots, k)
+            // phrase-prefix: the expansion rule is deterministic and
+            // spec-tested — the CLI oracle checks the multi-phrase
+            // contract over the engine's expansion
+            else if (pphraseMode) {
+              val toks = graft.index.Tokenize.tokenize(q)
+              OracleBm25.topKMultiPhrase(files,
+                toks.init.map(Seq(_)).toSeq :+ searcher.expandPrefix(toks.last), k)
+            }
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)
             else if (boolMode) OracleBm25.topKBool(files,

@@ -188,4 +188,11 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     */
   def queryMultiPhrase(slots: Seq[Seq[String]], k: Int) =
     searcher.searchMultiPhrase(slots, k)
+
+  /** Phrase-prefix query (Elasticsearch `match_phrase_prefix`): the last
+    * token is an open prefix, dictionary-expanded (df desc, cap) into the
+    * final multi-phrase slot — the search-as-you-type shape.
+    */
+  def queryPhrasePrefix(q: String, k: Int, maxExpand: Int = 64) =
+    searcher.searchPhrasePrefix(q, k, maxExpand)
 }

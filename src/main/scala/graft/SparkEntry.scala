@@ -41,6 +41,10 @@ object SparkEntry {
   // multi-phrase gate: position 0 = import, position 1 = def OR class
   // (Lucene MultiPhraseQuery) — strictly wider than either plain phrase
   private val MultiPhraseSlots = Seq(Seq("import"), Seq("def", "class"))
+  // phrase-prefix gate (ES match_phrase_prefix): "import util_1*" — the last
+  // token expands to its dictionary completions (df desc, cap 64), then the
+  // multi-phrase adjacency runs with the expansion as the final slot
+  private val PhrasePrefixQuery = "import util_1"
   // proximity gate: both terms must co-occur inside a NearWindow-token span;
   // corpus tokens are shuffled, so the window genuinely prunes conjunctive
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
@@ -519,6 +523,16 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchMultiPhrase(MultiPhraseSlots, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_pphrase" -> ((s, dir) => {
+      // phrase-prefix (ES match_phrase_prefix): last token is an open
+      // prefix, expanded via the dictionary (df desc, term asc, cap 64)
+      // into the final multi-phrase slot — search-as-you-type
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchPhrasePrefix(PhrasePrefixQuery, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1115,6 +1129,88 @@ object SparkEntry {
        |  WHERE p0.tok IN (${inList(slotTerms.head)})),
        |tfm AS MATERIALIZED (SELECT docid, tok, tf FROM tf
        |  WHERE tok IN (${inList(allTerms)})),
+       |dlm AS MATERIALIZED (SELECT docid, dlen FROM dl),
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dlm) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |dfs AS (SELECT tok, count(*) AS df FROM tfm GROUP BY 1),
+       |$slotCtes,
+       |scored AS (SELECT pdocs.docid AS docId, $scoreSum AS s
+       |  FROM pdocs $slotJoins JOIN dlm ON dlm.docid = pdocs.docid)
+       |SELECT docId, round(s, 9) AS score FROM scored
+       |ORDER BY s DESC, docId LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB oracle for phrase-prefix (Searcher.searchPhrasePrefix): the
+    * engine's dictionary expansion rule is reproduced in SQL (df desc, term
+    * asc, LIMIT cap — the q_bm25_prefix discipline, exact even when the cap
+    * binds), then the multi-phrase contract runs with the expansion as the
+    * final slot: adjacency over the slot-union occurrences, blended idf from
+    * the expansion's max df, tf summed over expansion members, slot scores
+    * summed in ascending slot-key order. Slot keys are data-dependent for
+    * the prefix slot (they start with a completion of the prefix), so the
+    * emitted sum order is decided by first characters — asserted distinct.
+    */
+  private def phrasePrefixOracleSql(tokens: Seq[String], cap: Int,
+                                    k: Int): String = {
+    val litTokens = tokens.init
+    val prefix = tokens.last
+    val distinctLits = litTokens.distinct.sorted
+    // the engine sums slot scores in ascending live-member-key order; a
+    // literal key vs the prefix slot's key (which starts with a completion
+    // of `prefix`) is only statically orderable when first chars differ
+    require((distinctLits :+ prefix).map(_.head).distinct.length ==
+      distinctLits.length + 1,
+      s"gate slots must differ in first char for a static sum order: $tokens")
+    val ordered: Seq[Either[String, Unit]] =
+      (distinctLits.map(Left(_): Either[String, Unit]) :+ Right(()))
+        .sortBy { case Left(t) => t.head; case Right(_) => prefix.head }
+    val (k1, b) = (1.2, 0.75)
+    def litIn(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+    val expPred = "tok IN (SELECT tok FROM expansion)"
+    val allPred =
+      (if (distinctLits.nonEmpty) s"tok IN (${litIn(distinctLits)}) OR " else "") +
+        expPred
+    def slotPred(i: Int): String =
+      if (i == tokens.length - 1) expPred else s"tok = '${litTokens(i)}'"
+    val adjJoins = (1 until tokens.length).map { j =>
+      s"JOIN occ p$j ON p$j.docid = p0.docid AND p$j.ord = p0.ord + $j AND " +
+        s"p$j.${slotPred(j)}"
+    }.mkString("\n  ")
+    val slotCtes = ordered.zipWithIndex.map {
+      case (Left(t), i) =>
+        s"""idf$i AS (SELECT ln(1.0 + ((SELECT n FROM stats) - max(df) + 0.5) /
+           |  (max(df) + 0.5)) AS v FROM dfs WHERE tok = '$t'),
+           |slot$i AS (SELECT docid, sum(tf) AS tfs FROM tfm
+           |  WHERE tok = '$t' GROUP BY 1)""".stripMargin
+      case (Right(_), i) =>
+        s"""idf$i AS (SELECT ln(1.0 + ((SELECT n FROM stats) - max(df) + 0.5) /
+           |  (max(df) + 0.5)) AS v FROM expansion),
+           |slot$i AS (SELECT docid, sum(tf) AS tfs FROM tfm
+           |  WHERE $expPred GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val scoreSum = ordered.indices.map { i =>
+      s"""((SELECT v FROM idf$i) *
+         |  (CAST(slot$i.tfs AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+         |  (CAST(slot$i.tfs AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dlm.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))))""".stripMargin
+    }.mkString(" +\n")
+    val slotJoins = ordered.indices
+      .map(i => s"JOIN slot$i ON slot$i.docid = pdocs.docid").mkString("\n  ")
+    s"""WITH $corpusCte,
+       |ptoks AS (
+       |  SELECT docid, unnest(regexp_extract_all(lower(content), '[a-z0-9_]+')) AS tok,
+       |         generate_subscripts(regexp_extract_all(lower(content), '[a-z0-9_]+'), 1) AS ord
+       |  FROM docs),
+       |expansion AS MATERIALIZED (SELECT tok, count(*) AS df FROM tf
+       |  WHERE starts_with(tok, '$prefix') GROUP BY 1
+       |  ORDER BY count(*) DESC, tok LIMIT $cap),
+       |occ AS MATERIALIZED (SELECT docid, ord, tok FROM ptoks
+       |  WHERE $allPred),
+       |pdocs AS (
+       |  SELECT DISTINCT p0.docid FROM occ p0
+       |  $adjJoins
+       |  WHERE p0.${slotPred(0)}),
+       |tfm AS MATERIALIZED (SELECT docid, tok, tf FROM tf
+       |  WHERE $allPred),
        |dlm AS MATERIALIZED (SELECT docid, dlen FROM dl),
        |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
        |  CAST((SELECT sum(dlen) FROM dlm) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
@@ -2310,6 +2406,8 @@ object SparkEntry {
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
     "q_bm25_spanfirst" -> phraseOracleSql(PhraseQuery, 10, SpanFirstEnd),
     "q_bm25_mphrase" -> multiPhraseOracleSql(MultiPhraseSlots, 10),
+    "q_bm25_pphrase" ->
+      phrasePrefixOracleSql(PhrasePrefixQuery.split(" ").toSeq, 64, 10),
 
     "q_corpus_langs" ->
       s"""SELECT lang, count(*) AS n FROM read_parquet('$FilesGlob')

@@ -498,6 +498,24 @@ class Searcher(spark: SparkSession, indexDir: String,
     hits.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Phrase-prefix top-k (Lucene MultiPhrasePrefixQuery / Elasticsearch
+    * `match_phrase_prefix`): the query's LAST token is an open prefix — it
+    * expands to the `maxExpand` highest-df dictionary completions (the
+    * [[searchPrefix]] rule: df desc, term asc, cap) and the whole query runs
+    * as a [[searchMultiPhrase]] with the expansion as the final slot's
+    * alternative set. A prefix with no dictionary completion cannot match
+    * (the Lucene rule). The classic search-as-you-type query shape.
+    * Requires a positional index.
+    */
+  def searchPhrasePrefix(query: String, k: Int,
+                         maxExpand: Int = 64): Dataset[Hit] = {
+    val toks = Tokenize.tokenize(query)
+    require(toks.nonEmpty, s"phrase-prefix needs at least one token: '$query'")
+    val expansion = expandPrefix(toks.last, maxExpand)
+    if (expansion.isEmpty) return spark.emptyDataset[Hit]
+    searchMultiPhrase(toks.init.map(Seq(_)) :+ expansion, k)
+  }
+
   /** Proximity top-k BM25 (`a NEAR/w b …`): candidates must contain ALL
     * query terms (the same galloping conjunctive intersection as `search`)
     * AND some span of at most `window` consecutive tokens must contain at

@@ -226,6 +226,42 @@ class PhraseSpec extends AnyFunSuite {
       s"\n got  ${gotTop.toSeq}\n want ${oracle.toSeq}")
   }
 
+  test("phrase-prefix: last token expands into the final slot") {
+    val s = new Searcher(spark, posIndex)
+    // uncapped here (maxExpand 10k) so the expansion IS the full dictionary
+    // prefix set — the raw-text derivation below is then exact
+    val got = s.searchPhrasePrefix("import util_1", 100000, 10000).collect()
+    import org.apache.spark.sql.expressions.Window
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val want = withId.select($"docId", $"content").as[(Long, String)]
+      .collect().collect { case (d, c)
+        if Tokenize.tokenize(c).sliding(2).exists(w =>
+          w.head == "import" && w(1).startsWith("util_1")) => d }.toSet
+    assert(got.map(_.docId).toSet == want && want.nonEmpty)
+    // scores: bit-exact vs the multi-phrase brute-force oracle over the
+    // engine's own expansion (the expansion rule is spec'd in SearcherSpec)
+    val slots = Seq(Seq("import"), s.expandPrefix("util_1", 10000))
+    val oracle = OracleBm25.topKMultiPhrase(files, slots, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val gotTop = s.searchPhrasePrefix("import util_1", 20, 10000).collect()
+      .map(h => (h.docId, h.score))
+    assert(gotTop.sameElements(oracle),
+      s"\n got  ${gotTop.toSeq}\n want ${oracle.toSeq}")
+    // a capped expansion is honored (fewer alternatives = subset matches)
+    val capped = s.searchPhrasePrefix("import util_1", 100000, 2).collect()
+    val cappedSlots = Seq(Seq("import"), s.expandPrefix("util_1", 2))
+    assert(capped.map(_.docId).toSet ==
+      s.searchMultiPhrase(cappedSlots, 100000).collect().map(_.docId).toSet)
+    assert(capped.map(_.docId).toSet.subsetOf(want))
+    // no dictionary completion → no hits; single-token prefix ≡ synonym
+    // query over the expansion
+    assert(s.searchPhrasePrefix("import zzqxnope", 10).isEmpty)
+    assert(s.searchPhrasePrefix("util_1", 20, 10000).collect().toSeq ==
+      s.searchSynonym(s.expandPrefix("util_1", 10000), 20).collect().toSeq)
+    intercept[IllegalArgumentException](s.searchPhrasePrefix("  ", 5))
+  }
+
   test("multi-phrase degenerate forms are bit-exact") {
     val s = new Searcher(spark, posIndex)
     // all-singleton slots ≡ searchPhrase

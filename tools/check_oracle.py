@@ -10,6 +10,10 @@ import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# spill outside the repo (a cwd-relative .tmp/ once filled the disk and
+# polluted git status) and cap it so a runaway plan fails fast instead
+con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+con.execute("SET max_temp_directory_size='20GiB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
