@@ -874,6 +874,23 @@ object Bench {
         searcher.searchFacetStats("import def", "dlen").collect())._2
     }
 
+    // significant terms (r5): match-shard-restricted full postings decode +
+    // one shuffle — the heaviest aggregation surface, worth watching
+    {
+      searcher.significantTerms("import util_7", 15).collect()
+      qsecs("sigterms") = timed(
+        searcher.significantTerms("import util_7", 15).collect())._2
+    }
+
+    // multi-term leaves inside boolean trees (r5): dictionary expansion +
+    // the standard tree kernel over the rewritten OR
+    {
+      val qs = Seq("util_1* OR def", "util_7~1 AND def")
+      qs.foreach(q => searcher.searchBool(q, 10).collect())
+      val lat = qs.map(q => timed(searcher.searchBool(q, 10).collect())._2).sorted
+      qsecs("bm25_bool_multiterm_p50") = pct(lat, 0.50)
+    }
+
     // tombstoned query: 1% of docs deleted, AND query through the per-shard
     // exclusion-list path (block alignment rebuilt, pruning stays on — r5)
     {
@@ -923,6 +940,14 @@ object Bench {
       val lat = mps.map(sl =>
         timed(phraseSearcher.searchMultiPhrase(sl, 10).collect())._2).sorted
       qsecs("bm25_mphrase_p50") = pct(lat, 0.50)
+    }
+    // phrase-prefix (r5): one dictionary expansion + the multi-phrase walk
+    locally {
+      val pps = Seq("import util_1", "def util_3", "import def")
+      pps.foreach(p => phraseSearcher.searchPhrasePrefix(p, 10).collect())
+      val lat = pps.map(p =>
+        timed(phraseSearcher.searchPhrasePrefix(p, 10).collect())._2).sorted
+      qsecs("bm25_pphrase_p50") = pct(lat, 0.50)
     }
     // proximity: same candidate walk as AND plus the min-cover sweep
     locally {

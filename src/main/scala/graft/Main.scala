@@ -44,6 +44,8 @@ import graft.query.Searcher
   *          [--facet COL]    (facet counts over the full match set)
   *          [--facetRanges COL:B1,B2,..] (numeric range-bucket counts)
   *          [--facetStats COL] (count/min/max/sum/mean over the match set)
+  *          [--sigterms N]   (ES significant_terms: top-N JLH-scored terms
+  *                            of the match set vs the corpus)
   *          [--inOrder true] (with --near W: chain must follow query order)
   *          [--count true]   (total conjunctive hit count, no ranking)
   *          [--explain true] (per-term tf/df/idf/contribution for the top-k)
@@ -365,7 +367,7 @@ object Main {
         // snippets/facets/explain/count internally use conjunctive (AND)
         // matching — reject mode flags they would silently ignore too
         for (out <- Seq("snippets", "facet", "facetRanges", "facetStats",
-               "explain", "count", "sortBy", "collapse")
+               "explain", "count", "sortBy", "collapse", "sigterms")
                if opts.get(out).exists(v => v.nonEmpty && v != "false");
              mode <- activeModes)
           sys.error(s"--$out uses conjunctive (AND) matching and cannot be " +
@@ -378,6 +380,16 @@ object Main {
           println(f"query '$q' top-$k with snippets in $ms%.0f ms")
           rows.foreach(r => println(
             f"  doc=${r.getLong(0)}%-8d score=${r.getDouble(1)}%.6f  …${r.getString(2)}…"))
+          spark.stop(); return
+        }
+        // --sigterms N — ES significant_terms (JLH) over the match set
+        opts.get("sigterms").foreach { nStr =>
+          val t0 = System.nanoTime()
+          val rows = searcher.significantTerms(q, nStr.toInt).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"significant terms of '$q' in $ms%.0f ms")
+          rows.foreach(r => println(
+            f"  ${r.getString(0)}%-16s fg=${r.getLong(1)}%-6d bg=${r.getLong(2)}%-8d jlh=${r.getDouble(3)}%.6f"))
           spark.stop(); return
         }
         opts.get("facet").foreach { fc =>
@@ -524,8 +536,16 @@ object Main {
             }
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)
-            else if (boolMode) OracleBm25.topKBool(files,
-              graft.query.BoolQuery.parse(q), k)
+            // multi-term leaves (util_1*, util_7~1) are rewritten with the
+            // engine's dictionary expansion (rule spec-tested) — the CLI
+            // oracle checks the boolean scoring of the rewritten tree
+            else if (boolMode)
+              searcher.rewriteBoolTree(graft.query.BoolQuery.parse(q)) match {
+                case Some(t) => OracleBm25.topKBool(files, t, k)
+                case None =>
+                  import spark.implicits._
+                  Seq.empty[(Long, Double)].toDF("docId", "score")
+              }
             else if (orMode) OracleBm25.topKOr(files, q, k)
             else if (fuzzyEdits.nonEmpty) OracleBm25.topKOr(files,
               searcher.expandFuzzy(q, fuzzyEdits.get, fuzzyPrefix).mkString(" "), k)

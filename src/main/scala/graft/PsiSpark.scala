@@ -195,4 +195,11 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     */
   def queryPhrasePrefix(q: String, k: Int, maxExpand: Int = 64) =
     searcher.searchPhrasePrefix(q, k, maxExpand)
+
+  /** Significant terms (Elasticsearch `significant_terms`, JLH heuristic):
+    * the top-n terms unusually frequent in `q`'s conjunctive match set
+    * relative to the whole corpus — (term, fg_df, bg_df, score) rows.
+    */
+  def querySignificantTerms(q: String, n: Int, minFgDf: Int = 1) =
+    searcher.significantTerms(q, n, minFgDf)
 }

@@ -45,6 +45,11 @@ object SparkEntry {
   // token expands to its dictionary completions (df desc, cap 64), then the
   // multi-phrase adjacency runs with the expansion as the final slot
   private val PhrasePrefixQuery = "import util_1"
+  // multi-term leaves inside boolean trees (Lucene PrefixQuery/FuzzyQuery as
+  // BooleanClauses, SCORING_BOOLEAN_REWRITE): the leaf expands into an OR of
+  // Terms in expansion order before the tree evaluates
+  private val BoolWildQuery = "util_1* OR def"
+  private val BoolFuzzyQuery = "util_7~1 OR def"
   // proximity gate: both terms must co-occur inside a NearWindow-token span;
   // corpus tokens are shuffled, so the window genuinely prunes conjunctive
   // matches (gate is non-vacuous: 0 < |near| < |conjunctive|)
@@ -523,6 +528,33 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchMultiPhrase(MultiPhraseSlots, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_sigterms" -> ((s, dir) => {
+      // significant terms (ES significant_terms, JLH): terms unusually
+      // frequent in the conjunctive match set vs the whole corpus
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .significantTerms(Bm25Query, 15)
+    }),
+
+    "q_bm25_bool_wild" -> ((s, dir) => {
+      // wildcard leaf inside a boolean tree: `util_1*` rewrites to the OR
+      // of its dictionary expansion (df desc, term asc, cap 64), then the
+      // standard tree walk — Lucene SCORING_BOOLEAN_QUERY_REWRITE
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool(BoolWildQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_bool_fuzzy" -> ((s, dir) => {
+      // fuzzy leaf inside a boolean tree: `util_7~1` rewrites to the OR of
+      // its Levenshtein-1 dictionary neighbors (dist asc, df desc, term asc)
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchBool(BoolFuzzyQuery, 10)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1219,6 +1251,46 @@ object SparkEntry {
        |scored AS (SELECT pdocs.docid AS docId, $scoreSum AS s
        |  FROM pdocs $slotJoins JOIN dlm ON dlm.docid = pdocs.docid)
        |SELECT docId, round(s, 9) AS score FROM scored
+       |ORDER BY s DESC, docId LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB oracle for `<multi-term leaf> OR <term>` boolean trees: the
+    * leaf's dictionary expansion is reproduced in SQL (`expWhere` selects
+    * the candidate tokens, `expOrder` is the engine's deterministic
+    * expansion order, LIMIT cap — exact even when the cap binds), its OR
+    * node folds per-doc scores in EXPANSION order (the rewritten tree's
+    * child order — Searcher.rewriteBoolTree), and the outer OR adds the
+    * plain term's contribution: coalesce-to-0.0 matches the engine's
+    * skip-unmatched-children sum bit-exactly (0.0 + x = x in IEEE).
+    */
+  private def boolMultiTermOrOracleSql(expWhere: String, expOrder: String,
+                                       orTerm: String, cap: Int,
+                                       k: Int): String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""WITH $corpusCte,
+       |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
+       |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
+       |expansion AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE $expWhere GROUP BY 1
+       |  ORDER BY $expOrder LIMIT $cap),
+       |es AS (SELECT tf.docid, tf.tok, e.df,
+       |  ln(1.0 + ((SELECT n FROM stats) - e.df + 0.5) / (e.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN expansion e ON tf.tok = e.tok JOIN dl ON tf.docid = dl.docid),
+       |eagg AS (SELECT docid,
+       |  list_reduce(list(s ORDER BY df DESC, tok), (a, c) -> a + c) AS raw
+       |  FROM es GROUP BY docid),
+       |tdf AS (SELECT count(*) AS df FROM tf WHERE tok = '$orTerm'),
+       |ts AS (SELECT tf.docid,
+       |  ln(1.0 + ((SELECT n FROM stats) - (SELECT df FROM tdf) + 0.5) / ((SELECT df FROM tdf) + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * CAST($k1 + 1.0 AS DOUBLE)) /
+       |  (CAST(tf.tf AS DOUBLE) + $k1 * (1.0 - $b + $b * (CAST(dl.dlen AS DOUBLE) / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf JOIN dl ON tf.docid = dl.docid WHERE tf.tok = '$orTerm'),
+       |merged AS (SELECT coalesce(eagg.docid, ts.docid) AS docId,
+       |  coalesce(eagg.raw, 0.0) + coalesce(ts.s, 0.0) AS s
+       |  FROM eagg FULL OUTER JOIN ts ON eagg.docid = ts.docid)
+       |SELECT docId, round(s, 9) AS score FROM merged
        |ORDER BY s DESC, docId LIMIT $k""".stripMargin
   }
 
@@ -2408,6 +2480,35 @@ object SparkEntry {
     "q_bm25_mphrase" -> multiPhraseOracleSql(MultiPhraseSlots, 10),
     "q_bm25_pphrase" ->
       phrasePrefixOracleSql(PhrasePrefixQuery.split(" ").toSeq, 64, 10),
+    // significant-terms oracle: the exact match set, per-term foreground
+    // counts, corpus background df, and the engine's JLH expression
+    // `(fg − bg)·(fg/bg)` with the same double-division order
+    "q_sigterms" -> {
+      val terms = Bm25Query.split(" ").toSeq.distinct.sorted
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $corpusCte,
+         |m AS (SELECT docid FROM tf WHERE tok IN ($inList)
+         |  GROUP BY docid HAVING count(*) = ${terms.length}),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS fg_total FROM m),
+         |bgn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+         |fg AS (SELECT tok, count(*) AS fg_df FROM tf JOIN m USING (docid)
+         |  GROUP BY tok),
+         |bg AS (SELECT tok, count(*) AS bg_df FROM tf GROUP BY tok),
+         |scored AS (SELECT fg.tok AS term, fg.fg_df, bg.bg_df,
+         |  (CAST(fg.fg_df AS DOUBLE) / (SELECT fg_total FROM tot) -
+         |   CAST(bg.bg_df AS DOUBLE) / (SELECT n FROM bgn)) *
+         |  ((CAST(fg.fg_df AS DOUBLE) / (SELECT fg_total FROM tot)) /
+         |   (CAST(bg.bg_df AS DOUBLE) / (SELECT n FROM bgn))) AS s
+         |  FROM fg JOIN bg ON fg.tok = bg.tok)
+         |SELECT term, fg_df, bg_df, round(s, 9) AS score FROM scored
+         |ORDER BY s DESC, term LIMIT 15""".stripMargin
+    },
+
+    "q_bm25_bool_wild" -> boolMultiTermOrOracleSql(
+      "starts_with(tok, 'util_1')", "count(*) DESC, tok", "def", 64, 10),
+    "q_bm25_bool_fuzzy" -> boolMultiTermOrOracleSql(
+      "levenshtein(tok, 'util_7') <= 1",
+      "levenshtein(tok, 'util_7'), count(*) DESC, tok", "def", 64, 10),
 
     "q_corpus_langs" ->
       s"""SELECT lang, count(*) AS n FROM read_parquet('$FilesGlob')

@@ -110,6 +110,32 @@ object BoolQ {
     require(v >= 0.0 && java.lang.Double.isFinite(v),
       s"CONST score must be a finite number >= 0, got $v")
   }
+
+  /** UNREWRITTEN wildcard leaf (`util_1*` / `ut?l_7` — Lucene
+    * WildcardQuery/PrefixQuery as a BooleanClause). Multi-term leaves are
+    * dictionary-expanded into an OR of [[Term]]s (Lucene's
+    * SCORING_BOOLEAN_QUERY_REWRITE, expansion order = df desc, term asc,
+    * capped — the flat [[graft.query.Searcher.searchWildcard]] rule) by
+    * [[BoolQuery.rewriteMultiTerm]] before ANY evaluation; every algebra
+    * function below rejects an unexpanded leaf loudly.
+    */
+  final case class Wild(pattern: String) extends BoolQ {
+    require(pattern.exists(c => c == '*' || c == '?'),
+      s"wildcard leaf needs a '*' or '?', got '$pattern'")
+    require(pattern.forall(c => c == '*' || c == '?' ||
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+      s"wildcard pattern may only contain [a-z0-9_*?], got '$pattern'")
+  }
+
+  /** UNREWRITTEN fuzzy leaf (`util_7~1`, bare `~` = 2 edits — Lucene
+    * FuzzyQuery as a BooleanClause); rewritten like [[Wild]] with the flat
+    * [[graft.query.Searcher.searchFuzzy]] expansion rule (distance asc,
+    * df desc, term asc, capped).
+    */
+  final case class Fuzzy(t: String, maxEdits: Int) extends BoolQ {
+    require(maxEdits >= 0 && maxEdits <= 2,
+      s"fuzzy maxEdits must be 0..2 (Lucene's bound), got ~$maxEdits")
+  }
 }
 
 object BoolQuery {
@@ -238,10 +264,25 @@ object BoolQuery {
               s"unbalanced '(' in boolean query: '$query'")
           }
         case Word(w) =>
-          val ts = Tokenize.tokenize(w)
-          require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
-          if (ts.length == 1) Term(ts.head)
-          else And(ts.map(Term(_)).toVector)
+          val lw = w.toLowerCase
+          if (lw.exists(c => c == '*' || c == '?'))
+            Wild(lw) // constructor validates the charset
+          else if (w.contains('~')) {
+            // fuzzy leaf `base~E` (bare `~` = 2, the Lucene default)
+            val at = w.lastIndexOf('~')
+            val (base, suf) = (w.substring(0, at), w.substring(at + 1))
+            require(suf.forall(_.isDigit),
+              s"fuzzy edits '~$suf' is not an integer in '$query'")
+            val ts = Tokenize.tokenize(base)
+            require(ts.length == 1,
+              s"fuzzy base '$base' must normalize to one token in '$query'")
+            Fuzzy(ts.head, if (suf.isEmpty) 2 else suf.toInt)
+          } else {
+            val ts = Tokenize.tokenize(w)
+            require(ts.nonEmpty, s"word '$w' normalizes to no token in '$query'")
+            if (ts.length == 1) Term(ts.head)
+            else And(ts.map(Term(_)).toVector)
+          }
         case Quoted(s) =>
           // `"a b"` = exact-phrase leaf; a one-token quote is a plain term
           val ts = Tokenize.tokenize(s)
@@ -352,7 +393,115 @@ object BoolQuery {
       case q => Vector(q)
     }
 
+  // ------------------------------------------- multi-term leaf rewriting
+
+  private sealed trait Rw
+  private case object RwNone extends Rw // subtree matches no document
+  private case object RwAll extends Rw // subtree matches every doc, score 0
+  private final case class RwNode(q: BoolQ) extends Rw
+
+  /** Lucene SCORING_BOOLEAN_QUERY_REWRITE of multi-term leaves: each
+    * [[BoolQ.Wild]]/[[BoolQ.Fuzzy]] leaf becomes the OR of its dictionary
+    * expansion's Terms IN EXPANSION ORDER (df desc, term asc — fuzzy:
+    * distance first; the deterministic order the oracles mirror), then the
+    * tree simplifies under match-none/match-all propagation, exactly
+    * Lucene's MatchNoDocsQuery handling: an empty expansion under AND kills
+    * the AND, under OR/DISMAX it drops out, under MSM it drops while `m`
+    * stays (it can never contribute a matched clause), under NOT it turns
+    * into match-ALL. A match-all subtree is droppable under AND (and
+    * decrements MSM's m), but anywhere it would DEFINE the match set —
+    * root, OR/DISMAX child, CONST body, MSM with m exhausted — the tree
+    * has become pure-negative/match-all and is rejected, the same
+    * posting-lists-can't-answer-it rule as [[matchesEmptyDoc]].
+    *
+    * Returns None when the whole tree simplifies to match-none. The result
+    * carries no Wild/Fuzzy leaves and no structural invariant violations
+    * (empty And/Or are simplified away; Msm bounds re-validated).
+    */
+  def rewriteMultiTerm(q: BoolQ, expandWild: String => Seq[String],
+                       expandFuzzy: (String, Int) => Seq[String]): Option[BoolQ] = {
+    def matchAll(ctx: String): Nothing = throw new IllegalArgumentException(
+      s"boolean query simplifies to match-all at $ctx (a multi-term leaf " +
+        "with an empty expansion under NOT) — unanswerable from posting lists")
+    def leafOr(ts: Seq[String]): Rw =
+      if (ts.isEmpty) RwNone
+      else if (ts.length == 1) RwNode(Term(ts.head))
+      else RwNode(Or(ts.map(Term(_)).toVector))
+    def walk(q: BoolQ): Rw = q match {
+      case Wild(p) => leafOr(expandWild(p))
+      case Fuzzy(t, e) => leafOr(expandFuzzy(t, e))
+      case t: Term => RwNode(t)
+      case p: Phrase => RwNode(p)
+      case And(xs) =>
+        val ks = xs.map(walk)
+        if (ks.contains(RwNone)) RwNone
+        else ks.collect { case RwNode(n) => n } match {
+          case Vector() => RwAll // every child matches everything
+          case Vector(one) => RwNode(one)
+          case ms => RwNode(And(ms))
+        }
+      case Or(xs) =>
+        val ks = xs.map(walk)
+        if (ks.contains(RwAll)) matchAll("an OR clause")
+        else ks.collect { case RwNode(n) => n } match {
+          case Vector() => RwNone
+          case Vector(one) => RwNode(one)
+          case ms => RwNode(Or(ms))
+        }
+      case Not(x) => walk(x) match {
+        case RwNone => RwAll
+        case RwAll => RwNone
+        case RwNode(n) => RwNode(Not(n))
+      }
+      case Boost(x, f) => walk(x) match {
+        // match-none/-all: set unchanged, and either way the score is 0
+        case RwNode(n) => RwNode(Boost(n, f))
+        case e => e
+      }
+      case DisMax(xs, tie) =>
+        val ks = xs.map(walk)
+        if (ks.contains(RwAll)) matchAll("a DISMAX clause")
+        else ks.collect { case RwNode(n) => n } match {
+          case Vector() => RwNone
+          case Vector(one) => RwNode(one) // 1-clause dismax ≡ the clause
+          case ms => RwNode(DisMax(ms, tie))
+        }
+      case Msm(xs, m) =>
+        val ks = xs.map(walk)
+        // an always-matching clause counts toward m on every document; an
+        // impossible clause never does — drop both, adjust m for the former
+        val m2 = m - ks.count(_ == RwAll)
+        val rest = ks.collect { case RwNode(n) => n }
+        if (m2 <= 0) {
+          // the m bar is met by the dropped match-all clauses alone: the
+          // node matches everything, scoring only its surviving children —
+          // answerable only when nothing survives to score... which is
+          // still a match-all tree. Reject either way.
+          matchAll("an MSM group (m met by match-all clauses)")
+        }
+        else if (rest.length < m2) RwNone
+        else if (m2 == 1 && rest.length == 1) RwNode(rest.head)
+        else RwNode(Msm(rest, m2))
+      case Const(x, v) => walk(x) match {
+        case RwNone => RwNone
+        case RwAll => matchAll("a CONST body")
+        case RwNode(n) => RwNode(Const(n, v))
+      }
+    }
+    walk(q) match {
+      case RwNone => None
+      case RwAll => matchAll("the root")
+      case RwNode(n) => Some(n)
+    }
+  }
+
   // ---------------------------------------------------------- tree algebra
+
+  /** Unexpanded multi-term leaves may never reach evaluation — they carry
+    * no posting lists. [[rewriteMultiTerm]] eliminates them up front.
+    */
+  private def unexpanded(q: BoolQ): Nothing = throw new IllegalStateException(
+    s"unexpanded multi-term leaf $q — rewriteMultiTerm must run first")
 
   /** Distinct leaf terms in ascending order (both polarities — all are
     * needed for presence tests).
@@ -368,6 +517,7 @@ object BoolQuery {
       case Msm(xs, _) => xs.iterator.flatMap(walk)
       case Const(x, _) => walk(x)
       case Phrase(ts) => ts.iterator
+      case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
     }
     walk(q).toVector.distinct.sorted
   }
@@ -384,6 +534,7 @@ object BoolQuery {
       case DisMax(xs, _) => xs.iterator.flatMap(walk)
       case Msm(xs, _) => xs.iterator.flatMap(walk)
       case Const(x, _) => walk(x)
+      case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
     }
     walk(q).toVector.distinct
   }
@@ -414,6 +565,7 @@ object BoolQuery {
     case Msm(xs, m) => xs.count(matches(_, has, phraseOk)) >= m
     case Const(x, _) => matches(x, has, phraseOk)
     case p: Phrase => phraseOk(p)
+    case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
   }
 
   /** OPTIMISTIC satisfiability: can the tree possibly match when term `t`
@@ -438,6 +590,7 @@ object BoolQuery {
     // presence of every member is NECESSARY for adjacency — sound, and
     // exact at the presence level (adjacency only shrinks further)
     case Phrase(ts) => ts.forall(mayHave)
+    case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
   }
 
   /** Terms REQUIRED in every matching document: the positive direct Term
@@ -453,6 +606,7 @@ object BoolQuery {
     // m = all clauses ⇒ behaves as AND; any smaller m requires nothing
     case Msm(xs, m) if m == xs.length => xs.flatMap(requiredTerms).distinct
     case Const(x, _) => requiredTerms(x) // match logic delegates unchanged
+    case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
     case _ => Seq.empty
   }
 
@@ -478,6 +632,7 @@ object BoolQuery {
       case Msm(xs, _) => xs.iterator.flatMap(walk(_, neg))
       case Const(x, _) => walk(x, neg)
       case Phrase(ts) => if (neg) Iterator.empty else ts.iterator
+      case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
     }
     walk(q, neg = false).toSet
   }
@@ -538,6 +693,7 @@ object BoolQuery {
     // a matched Const scores exactly v (and v ≥ 0 by construction) — the
     // subtree's own bounds are irrelevant
     case Const(_, v) => v
+    case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
   }
 
   /** Evaluate match + score for one document. `score(t)` must only be
@@ -620,5 +776,6 @@ object BoolQuery {
     case Const(x, v) =>
       // match logic delegates; the score is the constant itself
       if (evalScore(x, has, score, phraseOk).isNaN) Double.NaN else v
+    case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
   }
 }

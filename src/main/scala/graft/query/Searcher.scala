@@ -646,8 +646,25 @@ class Searcher(spark: SparkSession, indexDir: String,
   def searchBool(query: String, k: Int): Dataset[Hit] =
     searchBoolTree(BoolQuery.parse(query), k)
 
-  /** [[searchBool]] over an already-parsed tree. */
-  def searchBoolTree(tree: BoolQ, k: Int): Dataset[Hit] = {
+  /** Dictionary-expand a parsed tree's multi-term leaves (`util_1*`,
+    * `util_7~1`) into ORs of Terms — Lucene's SCORING_BOOLEAN_QUERY_REWRITE
+    * with this engine's flat expansion rules ([[expandWildcard]] /
+    * [[expandFuzzy]]). None = the tree simplified to match-none (every
+    * expansion came back empty where a match needed one).
+    */
+  def rewriteBoolTree(tree: BoolQ, maxExpand: Int = 64): Option[BoolQ] =
+    BoolQuery.rewriteMultiTerm(tree,
+      p => expandWildcard(p, maxExpand),
+      (t, e) => expandFuzzy(t, e, 0, maxExpand))
+
+  /** [[searchBool]] over an already-parsed tree (multi-term leaves are
+    * rewritten here, so gates/facade callers may pass raw parses).
+    */
+  def searchBoolTree(tree0: BoolQ, k: Int): Dataset[Hit] = {
+    val tree = rewriteBoolTree(tree0) match {
+      case None => return spark.emptyDataset[Hit]
+      case Some(t) => t
+    }
     require(!BoolQuery.matchesEmptyDoc(tree),
       s"pure-negative / match-all boolean query (matches a document with " +
         s"none of its terms — unanswerable from posting lists): $tree")
@@ -1196,6 +1213,65 @@ class Searcher(spark: SparkSession, indexDir: String,
       .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"),
         sum(v).as("sm"))
       .withColumn("mean", round($"sm".cast("double") / $"n", 9))
+  }
+
+  /** Significant terms over the FULL conjunctive match set (the
+    * Elasticsearch `significant_terms` aggregation): which index terms are
+    * unusually frequent in the documents matching `query`, relative to the
+    * whole corpus? For every term with at least `minFgDf` matching docs,
+    * the foreground rate fg = fgDf/fgTotal and background rate
+    * bg = bgDf/numDocs combine into the JLH score
+    * `(fg − bg) · (fg / bg)` (ES's default-era significance heuristic —
+    * both absolute and relative lift, so neither stopwords nor one-off
+    * rarities dominate). Returns (term, fg_df, bg_df, score), top `n` by
+    * (score desc, term asc). The query's own terms have fg-rate 1 but rank
+    * by LIFT like everything else — a ubiquitous query term (bg ≈ 1)
+    * scores near zero, exactly the stopword suppression JLH is for.
+    *
+    * Plan shape: the match set (codegen'd decode + one agg) is joined
+    * against the postings of the MATCHING SHARDS ONLY (`shard IN` pushed
+    * to the parquet scan — a query touching few shards decodes few lists),
+    * one shuffle on docId, one hash agg per term, dict join for bg df.
+    * The inherent cost is one decode of the matching shards' postings —
+    * the same foreground-scan ES pays (they sample; a shard-count cap is
+    * the analogous lever here and deliberately not applied: exactness is
+    * this engine's contract). bgDf counts tombstoned docs until
+    * compaction, like Lucene's df.
+    */
+  def significantTerms(query: String, n: Int, minFgDf: Int = 1): DataFrame = {
+    graft.functions.VByteFunctions.register(spark)
+    val matchSet = matchingDocs(query)
+    val dps = meta.docsPerShard
+    // distinct matching shards: bounded by the shard count (driver-sized by
+    // the same argument as every shard-set collect in this class). One
+    // evaluation of the match set here, one in the result plan — the match
+    // set is two pushed-down postings scans, cheap next to the fg decode,
+    // so no cache is pinned across the caller's action.
+    val matchShards = matchSet
+      .select(($"docId" / dps).cast("int").as("shard"))
+      .distinct().as[Int].collect().toSeq.sorted
+    val empty = Seq.empty[(String, Long, Long, Double)]
+      .toDF("term", "fg_df", "bg_df", "score")
+    if (matchShards.isEmpty) return empty
+    val fg = postings
+      .filter($"shard".isin(matchShards: _*) &&
+        $"term" =!= Searcher.DeletedTerm) // reserved exclusion-list rows
+      .select($"term", explode(expr("vbyte_decode_deltas(docBytes, n)")).as("docId"))
+      .join(matchSet, "docId")
+      .groupBy("term").agg(count(lit(1)).as("fg_df"))
+      .filter($"fg_df" >= minFgDf)
+    val bg = dict.groupBy("term").agg(sum($"df").as("bg_df"))
+    // fgTotal rides the plan as a 1-row broadcast join — no driver count()
+    val totals = matchSet.agg(count(lit(1)).cast("double").as("fg_total"))
+    val nDocs = meta.numDocs
+    val fgPct = $"fg_df".cast("double") / $"fg_total"
+    val bgPct = $"bg_df".cast("double") / lit(nDocs.toDouble)
+    fg.join(bg, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+      .orderBy($"score".desc, $"term".asc)
+      .limit(n)
+      .select($"term", $"fg_df", $"bg_df", round($"score", 9).as("score"))
   }
 
   /** Synonym query (Lucene SynonymQuery analog): the variant terms are

@@ -496,6 +496,62 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(filtered.map(_._1).toSet == conj.map(_._1).toSet)
   }
 
+  test("multi-term leaves: parser shape and validation") {
+    assert(BoolQuery.parse("util_1*") == Wild("util_1*"))
+    assert(BoolQuery.parse("Ut?l_7 def") ==
+      And(Vector(Wild("ut?l_7"), Term("def"))))
+    assert(BoolQuery.parse("util_7~1") == Fuzzy("util_7", 1))
+    assert(BoolQuery.parse("util_7~") == Fuzzy("util_7", 2)) // Lucene default
+    assert(BoolQuery.parse("util_1*^2") == Boost(Wild("util_1*"), 2.0))
+    intercept[IllegalArgumentException](BoolQuery.parse("util_7~3"))
+    intercept[IllegalArgumentException](BoolQuery.parse("util_7~x"))
+    intercept[IllegalArgumentException](BoolQuery.parse("ab*~1")) // charset
+    intercept[IllegalArgumentException](BoolQuery.parse("~1")) // empty base
+    // unexpanded leaves are rejected by every evaluation entry point
+    intercept[IllegalStateException](BoolQuery.leafTerms(Wild("a*")))
+    intercept[IllegalStateException](
+      BoolQuery.matchesEmptyDoc(Fuzzy("abc", 1)))
+  }
+
+  test("multi-term leaves: scoring-boolean rewrite, rank identity vs oracle") {
+    // the rewritten tree (expansion ORs in df-desc/term-asc order) is what
+    // both engine and oracle evaluate — scores bit-exact
+    for (q <- Seq("util_1* OR def", "util_1* val", "util_7~1 OR def",
+                  "util_1*^2 -util_7", "DISMAX 0.3 (util_1? def)",
+                  "MSM 2 (util_1* def val)")) {
+      val tree = searcher.rewriteBoolTree(BoolQuery.parse(q)).get
+      assert(got(q) == want(tree), s"query '$q'")
+      assert(got(q).nonEmpty, s"query '$q' found nothing")
+    }
+    // the wildcard leaf alone matches the flat wildcard query's SET (the
+    // flat kernel folds per-doc scores in ascending-term order, the tree
+    // in expansion order — same values, different float accumulation)
+    assert(got("util_1*", 10000).map(_._1).toSet ==
+      searcher.searchWildcard("util_1*", 10000).collect().map(_.docId).toSet)
+  }
+
+  test("multi-term leaves: empty expansions simplify like MatchNoDocsQuery") {
+    // dead wildcard under AND kills the tree; under OR it drops out
+    assert(searcher.searchBool("zzqx* def", 10).isEmpty)
+    assert(got("zzqx* OR def") == got("def"))
+    assert(got("zzqx9~0 OR def") == got("def"))
+    // NOT(dead expansion) = always-true: droppable under AND...
+    assert(got("def -zzqx*") == got("def"))
+    // ...but match-all anywhere it defines the match set is rejected
+    intercept[IllegalArgumentException](searcher.searchBool("-zzqx*", 10))
+    intercept[IllegalArgumentException](
+      searcher.searchBool("def OR -zzqx*", 10))
+    intercept[IllegalArgumentException](
+      searcher.searchBool("CONST 1 (-zzqx*)", 10))
+    // MSM: dead clauses drop with m kept; match-all clauses decrement m
+    assert(got("MSM 2 (def zzqx* val)") == got("MSM 2 (def val)"))
+    assert(got("MSM 2 (def -zzqx* val)") == got("def OR val"))
+    // rewriter returns None only when no match is possible at all
+    assert(searcher.rewriteBoolTree(BoolQuery.parse("zzqx* def")).isEmpty)
+    assert(searcher.rewriteBoolTree(
+      BoolQuery.parse("def OR val")).contains(BoolQuery.parse("def OR val")))
+  }
+
   test("shard pruning is the tree's satisfiability algebra") {
     // a conjunctive root intersects required shard sets: rare terms touch
     // few shards, so the AND of two rare terms must touch no more shards

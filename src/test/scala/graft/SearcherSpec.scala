@@ -538,6 +538,47 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { searcher.mltTerms(files, 99999999L) }
   }
 
+  test("significant terms: JLH over the match set matches brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = "import util_7"
+    val got = searcher.significantTerms(q, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force from the raw corpus: per-doc token sets, match set =
+    // docs with every query token, fg/bg df, the same JLH expression
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val docToks = withId.select($"docId", $"content").as[(Long, String)]
+      .collect().map { case (d, c) =>
+        (d, graft.index.Tokenize.tokenize(c).toSet) }
+    val qToks = graft.index.Tokenize.tokenize(q).toSet
+    val matchDocs = docToks.collect { case (d, ts) if qToks.subsetOf(ts) => d }.toSet
+    assert(matchDocs.nonEmpty)
+    val fgTotal = matchDocs.size.toDouble
+    val nDocs = docToks.length.toDouble
+    val fgDf = docToks.filter(d => matchDocs(d._1))
+      .flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bgDf = docToks.flatMap(_._2).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val want = fgDf.toSeq.map { case (t, fg) =>
+      val bg = bgDf(t)
+      val (fgP, bgP) = (fg.toDouble / fgTotal, bg.toDouble / nDocs)
+      (t, fg, bg, (fgP - bgP) * (fgP / bgP))
+    }.sortBy { case (t, _, _, s) => (-s, t) }.take(20)
+      .map { case (t, fg, bg, s) =>
+        (t, fg, bg, BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got.toSeq == want.toSeq,
+      s"\n got  ${got.toSeq.take(5)}\n want ${want.take(5)}")
+    // the query's own terms sit at fg-rate 1 (every matching doc has them)
+    // but may still rank LOW on lift (a ubiquitous term like `import` has
+    // bg-rate ≈ 1 too) — fetch the full table to check the fg counts
+    val all = searcher.significantTerms(q, 1000000).collect()
+    val byTerm = all.map(r => r.getString(0) -> r.getLong(1)).toMap
+    qToks.foreach(t => assert(byTerm.get(t).contains(matchDocs.size.toLong)))
+    // no-hit query → empty, not an error
+    assert(searcher.significantTerms("zzqx_nothing", 5).isEmpty)
+  }
+
   test("searchCount equals the brute-force conjunctive match count") {
     val q = "import def util_7"
     val n = searcher.searchCount(q)
