@@ -941,6 +941,15 @@ object Bench {
         timed(phraseSearcher.searchMultiPhrase(sl, 10).collect())._2).sorted
       qsecs("bm25_mphrase_p50") = pct(lat, 0.50)
     }
+    // span-not (r5): the phrase walk plus one exclusion-list merge
+    locally {
+      val sns = Seq(("import def", "class"), ("def class", "val"))
+      sns.foreach { case (p, x) =>
+        phraseSearcher.searchSpanNot(p, x, 10, 1, 1).collect() }
+      val lat = sns.map { case (p, x) =>
+        timed(phraseSearcher.searchSpanNot(p, x, 10, 1, 1).collect())._2 }.sorted
+      qsecs("bm25_spannot_p50") = pct(lat, 0.50)
+    }
     // phrase-prefix (r5): one dictionary expansion + the multi-phrase walk
     locally {
       val pps = Seq("import util_1", "def util_3", "import def")

@@ -35,6 +35,9 @@ import graft.query.Searcher
   *          [--pphrase true] (match_phrase_prefix: --q's LAST token is an
   *                            open prefix, dictionary-expanded into the
   *                            final multi-phrase slot — search-as-you-type)
+  *          [--exclude T [--pre N] [--post N]] (with --phrase true: Lucene
+  *                            SpanNotQuery — phrase occurrences with T
+  *                            inside [start−N, end−1+N] are dropped)
   *          [--sortBy COL[:desc]] (field-sorted match set, Lucene Sort)
   *          [--collapse COL] (best-scoring doc per COL value, Lucene grouping)
   *          [--fuzzy E]      (Levenshtein-E term expansion, OR-score;
@@ -328,6 +331,11 @@ object Main {
         // --first N modifies --phrase: the occurrence must END within the
         // first N token positions (Lucene SpanFirstQuery, end exclusive)
         val spanFirstEnd = opts.get("first").map(_.toInt)
+        // --exclude T [--pre N] [--post N] modifies --phrase: Lucene
+        // SpanNotQuery — occurrences overlapping (± slack) T are dropped
+        val spanNotEx = opts.get("exclude").filter(_.nonEmpty)
+        val spanPre = opts.getOrElse("pre", "0").toInt
+        val spanPost = opts.getOrElse("post", "0").toInt
         val fuzzyEdits = opts.get("fuzzy").map(_.toInt) // e.g. --fuzzy 1 (Levenshtein edits)
         val fuzzyPrefix = opts.getOrElse("fuzzyPrefix", "0").toInt
         val fromRank = opts.getOrElse("from", "0").toInt // offset pagination
@@ -355,6 +363,12 @@ object Main {
           sys.error("--inOrder modifies --near and cannot be used without it")
         if (spanFirstEnd.nonEmpty && !phraseMode)
           sys.error("--first modifies --phrase and cannot be used without it")
+        if (spanNotEx.nonEmpty && !phraseMode)
+          sys.error("--exclude modifies --phrase and cannot be used without it")
+        if (spanNotEx.nonEmpty && spanFirstEnd.nonEmpty)
+          sys.error("--exclude and --first cannot be combined")
+        if ((spanPre != 0 || spanPost != 0) && spanNotEx.isEmpty)
+          sys.error("--pre/--post modify --exclude and cannot be used without it")
         // --from pages the plain conjunctive ranking only (a paged variant
         // of every other mode would silently change its contract)
         if (fromRank > 0 && activeModes.nonEmpty)
@@ -473,8 +487,9 @@ object Main {
             case _ => sys.error(s"--trange expects --q \"lo,hi\", got '$q'")
           }
         val t0 = System.nanoTime()
-        val hits = (if (phraseMode) spanFirstEnd
-                      .map(searcher.searchSpanFirst(q, k, _))
+        val hits = (if (phraseMode) spanNotEx
+                      .map(searcher.searchSpanNot(q, _, k, spanPre, spanPost))
+                      .orElse(spanFirstEnd.map(searcher.searchSpanFirst(q, k, _)))
                       .getOrElse(searcher.searchPhrase(q, k))
                     else if (prefixMode) searcher.searchPrefix(q, k)
                     else if (regexMode) searcher.searchRegex(q, k)
@@ -510,8 +525,10 @@ object Main {
         opts.get("oracle").foreach { corpusDir =>
           val files = spark.read.parquet(s"$corpusDir/files.parquet")
           val oracleDf =
-            if (phraseMode) OracleBm25.topKPhrase(files, q, k,
-              maxEnd = spanFirstEnd.getOrElse(Int.MaxValue))
+            if (phraseMode) spanNotEx
+              .map(OracleBm25.topKSpanNot(files, q, _, k, spanPre, spanPost))
+              .getOrElse(OracleBm25.topKPhrase(files, q, k,
+                maxEnd = spanFirstEnd.getOrElse(Int.MaxValue)))
             // prefix/regex rewrite to OR over the dictionary expansion; the
             // expansion rule itself is deterministic (df desc, term asc, cap)
             // and spec-tested — the CLI oracle checks the SCORING of it

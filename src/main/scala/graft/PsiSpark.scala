@@ -202,4 +202,12 @@ class IndexHandle(spark: SparkSession, val indexDir: String,
     */
   def querySignificantTerms(q: String, n: Int, minFgDf: Int = 1) =
     searcher.significantTerms(q, n, minFgDf)
+
+  /** Span-not query (Lucene SpanNotQuery): phrase occurrences overlapping
+    * (± pre/post slack) the exclude term are dropped; docs with a
+    * surviving occurrence keep the phrase query's scores.
+    */
+  def querySpanNot(phrase: String, exclude: String, k: Int,
+                   pre: Int = 0, post: Int = 0) =
+    searcher.searchSpanNot(phrase, exclude, k, pre, post)
 }

@@ -48,6 +48,10 @@ object SparkEntry {
   // multi-term leaves inside boolean trees (Lucene PrefixQuery/FuzzyQuery as
   // BooleanClauses, SCORING_BOOLEAN_REWRITE): the leaf expands into an OR of
   // Terms in expansion order before the tree evaluates
+  // span-not gate (Lucene SpanNotQuery): "import def" occurrences with
+  // 'class' inside [start-1, end-1+1] are dropped — strictly between
+  // empty and the full phrase set on this fixture
+  private val SpanNotExclude = ("class", 1, 1)
   private val BoolWildQuery = "util_1* OR def"
   private val BoolFuzzyQuery = "util_7~1 OR def"
   // proximity gate: both terms must co-occur inside a NearWindow-token span;
@@ -565,6 +569,17 @@ object SparkEntry {
       CorpusFixture.ensure(s)
       new graft.query.Searcher(s, CorpusFixture.indexDir)
         .searchPhrasePrefix(PhrasePrefixQuery, 10)
+        .select(col("docId"), round(col("score"), 9).as("score"))
+    }),
+
+    "q_bm25_spannot" -> ((s, dir) => {
+      // span-not (Lucene SpanNotQuery): phrase occurrences overlapping
+      // (+/- 1 slack) the exclude term are dropped; survivors keep the
+      // phrase scores
+      CorpusFixture.ensure(s)
+      new graft.query.Searcher(s, CorpusFixture.indexDir)
+        .searchSpanNot(PhraseQuery.mkString(" "), SpanNotExclude._1, 10,
+          SpanNotExclude._2, SpanNotExclude._3)
         .select(col("docId"), round(col("score"), 9).as("score"))
     }),
 
@@ -1295,8 +1310,20 @@ object SparkEntry {
   }
 
   private def phraseOracleSql(phraseTokens: Seq[String], k: Int,
-                              maxEnd: Int = Int.MaxValue): String = {
+                              maxEnd: Int = Int.MaxValue,
+                              exclude: Option[(String, Int, Int)] = None): String = {
     val terms = phraseTokens.distinct.sorted
+    // span-not (Lucene SpanNotQuery): an occurrence starting at p0.ord
+    // spans ords [p0.ord, p0.ord + m - 1]; it is dropped when the exclude
+    // term occurs in [p0.ord - pre, p0.ord + m - 1 + post] (same window
+    // arithmetic as the engine's chain kernel, shift-invariant so 1-based
+    // SQL ords need no adjustment)
+    val exBound = exclude.map { case (ex, pre, post) =>
+      s""" AND NOT EXISTS (SELECT 1 FROM ptoks x
+         |    WHERE x.docid = p0.docid AND x.tok = '$ex'
+         |      AND x.ord >= p0.ord - $pre
+         |      AND x.ord <= p0.ord + ${phraseTokens.length - 1} + $post)""".stripMargin
+    }.getOrElse("")
     // span-first bound: engine positions are 0-based with exclusive end;
     // ptoks.ord is 1-based, so an m-token occurrence starting at p0.ord ends
     // (exclusive, 0-based) at p0.ord + m - 1 — that must be <= maxEnd
@@ -1319,7 +1346,7 @@ object SparkEntry {
        |pdocs AS (
        |  SELECT DISTINCT p0.docid FROM ptoks p0
        |  $adjJoins
-       |  WHERE p0.tok = '${phraseTokens.head}'$spanBound),
+       |  WHERE p0.tok = '${phraseTokens.head}'$spanBound$exBound),
        |stats AS (SELECT (SELECT count(*) FROM docs) AS n,
        |  CAST((SELECT sum(dlen) FROM dl) AS DOUBLE) / (SELECT count(*) FROM docs) AS avgdl),
        |dfs AS (SELECT tok, count(*) AS df FROM tf
@@ -2477,6 +2504,8 @@ object SparkEntry {
 
     "q_bm25_phrase3" -> phraseOracleSql(Phrase3Query, 10),
     "q_bm25_spanfirst" -> phraseOracleSql(PhraseQuery, 10, SpanFirstEnd),
+    "q_bm25_spannot" ->
+      phraseOracleSql(PhraseQuery, 10, exclude = Some(SpanNotExclude)),
     "q_bm25_mphrase" -> multiPhraseOracleSql(MultiPhraseSlots, 10),
     "q_bm25_pphrase" ->
       phrasePrefixOracleSql(PhrasePrefixQuery.split(" ").toSeq, 64, 10),

@@ -180,6 +180,43 @@ object OracleBm25 {
       conjunctive = true, restrictTo = Some(phraseDocs))
   }
 
+  /** Span-not oracle (Lucene SpanNotQuery): phrase occurrences whose token
+    * window `[start − pre, end − 1 + post]` holds NO occurrence of the
+    * exclude term survive; docs with ≥ 1 survivor score the standard
+    * phrase contract — matches `Searcher.searchSpanNot`.
+    */
+  def topKSpanNot(files: DataFrame, phrase: String, exclude: String, k: Int,
+                  pre: Int = 0, post: Int = 0,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val tokens = Tokenize.tokenize(phrase).toSeq
+    val exToks = Tokenize.tokenize(exclude)
+    val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (tokens.isEmpty) return empty
+    if (exToks.isEmpty) return topKPhrase(files, phrase, k, k1, b)
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val ptoks = withId
+      .select($"docId", posexplode(Tokenize.termsCol($"content")).as(Seq("ord", "term")))
+    var cand = ptoks.filter($"term" === tokens.head).select($"docId", $"ord")
+    tokens.zipWithIndex.drop(1).foreach { case (t, j) =>
+      val next = ptoks.filter($"term" === t)
+        .select($"docId".as("d2"), $"ord".as("o2"))
+      cand = cand.join(next, cand("docId") === $"d2" && $"o2" === cand("ord") + j)
+        .select(cand("docId"), cand("ord"))
+    }
+    val exOcc = ptoks.filter($"term" === exToks.head)
+      .select($"docId".as("xd"), $"ord".as("xo"))
+    val kept = cand.join(exOcc,
+      cand("docId") === $"xd" &&
+        $"xo" >= cand("ord") - pre &&
+        $"xo" <= cand("ord") + (tokens.length - 1) + post,
+      "left_anti")
+    topKImpl(files, tokens.distinct.sorted.mkString(" "), k, k1, b,
+      conjunctive = true, restrictTo = Some(kept.select("docId").distinct()))
+  }
+
   /** Top-k for a proximity query: docs where some span of ≤ `window`
     * consecutive tokens contains every distinct query term (exact MIN-COVER,
     * computed with plain window functions: for each occurrence of any query

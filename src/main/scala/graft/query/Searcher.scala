@@ -395,6 +395,66 @@ class Searcher(spark: SparkSession, indexDir: String,
     searchPhraseImpl(phrase, k, end)
   }
 
+  /** Span-not top-k (Lucene SpanNotQuery with pre/post slack): documents
+    * where SOME occurrence of the exact phrase has NO occurrence of the
+    * `exclude` term within `pre` token positions before its start or
+    * `post` positions after its end (pre = post = 0 is pure overlap
+    * exclusion — and a single-word phrase can then never overlap a
+    * DIFFERENT word, the Lucene identity). Survivors keep the phrase
+    * query's bit-identical scores (the include span decides the score;
+    * the exclusion only filters — Lucene's rule). An `exclude` term
+    * absent from the dictionary excludes nothing: ≡ [[searchPhrase]].
+    * Requires a positional index.
+    */
+  def searchSpanNot(phrase: String, exclude: String, k: Int,
+                    pre: Int = 0, post: Int = 0): Dataset[Hit] = {
+    require(pre >= 0 && post >= 0,
+      s"span-not pre/post must be >= 0, got pre=$pre post=$post")
+    val exToks = Tokenize.tokenize(exclude)
+    require(exToks.length == 1,
+      s"span-not exclude must normalize to one token, got ${exToks.toSeq} from '$exclude'")
+    val ex = exToks.head
+    val tokenSeq = Tokenize.tokenize(phrase).toSeq
+    if (tokenSeq.isEmpty) return spark.emptyDataset[Hit]
+    require(postings.columns.contains("posBytes"),
+      "span-not search requires a positional index (IndexConfig(positions = true))")
+    val terms = tokenSeq.distinct.sorted
+    val info = lookupTerms((terms :+ ex).distinct)
+    if (terms.exists(t => info(t).df == 0L)) return spark.emptyDataset[Hit]
+    val idfByTerm: Map[String, Double] =
+      terms.map(t => t -> idf(meta.numDocs, info(t).df)).toMap
+    // candidate shards come from the PHRASE terms only — the exclusion can
+    // only shrink the match set, never add shards
+    val candShards: Array[Int] =
+      terms.map(t => info(t).shards).reduce(Searcher.intersectSorted)
+    if (candShards.isEmpty) return spark.emptyDataset[Hit]
+    val fetchTerms = (terms :+ ex).distinct
+    val segsC = postings.filter($"term".isin(fetchTerms: _*) &&
+      $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
+      .unionByName(exclusionSegs(candShards.toSeq)
+        .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
+    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
+    val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
+    val (seqB, termsB, exB, preB, postB) = (tokenSeq, terms, ex, pre, post)
+    val (accT, accS) = (shardsTouched, candidatesScored)
+    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+      (shard, segIt, lenIt) =>
+        val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
+        val deleted = Searcher.decodeDeleted(del.map(s =>
+          PostingSeg(s.term, s.shard, s.n, s.sumTf, s.docBytes, s.tfBytes,
+            s.blockFirst, s.blockMaxTfn, s.blockMaxTf, s.blockMinDlen)))
+        val segsByTerm = rest.groupBy(_.term)
+        if (!termsB.forall(segsByTerm.contains) || !lenIt.hasNext) Iterator.empty
+        else {
+          accT.add(1)
+          Searcher.scoreShardSpanNot(segsByTerm, Searcher.mergeLens(lenIt),
+            seqB, termsB, exB, preB, postB, idfByTerm, k1, b, avgdl, k,
+            accS, deleted)
+        }
+    }
+    hits.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
   private def searchPhraseImpl(phrase: String, k: Int,
                                maxEnd: Int): Dataset[Hit] = {
     val tokenSeq = Tokenize.tokenize(phrase).toSeq
@@ -1868,6 +1928,34 @@ object Searcher {
       accScored, maxEnd)
   }
 
+  /** Span-not scoring for one shard (Lucene SpanNotQuery): the phrase
+    * chain walk of [[scoreShardPhrase]], but an occurrence only qualifies
+    * when the exclude term has NO position inside
+    * `[start − pre, end − 1 + post]` (inclusive token positions); the doc
+    * matches when ANY occurrence qualifies. The exclude list may be absent
+    * from the shard — then nothing is excluded.
+    */
+  def scoreShardSpanNot(segsByTerm: Map[String, Array[PostingSegP]],
+                        lens: ShardLens, tokenSeq: Seq[String],
+                        termsSorted: Seq[String], exclude: String,
+                        pre: Int, post: Int,
+                        idfByTerm: Map[String, Double],
+                        k1: Double, b: Double, avgdl: Double, k: Int,
+                        accScored: LongAccumulator = null,
+                        deleted: Array[Long] = Array.emptyLongArray): Iterator[Hit] = {
+    val lists: Array[PosList] =
+      termsSorted.map(t =>
+        withoutDeletedPos(decodePosList(t, segsByTerm(t)), deleted)).toArray
+    val byTerm = lists.map(l => l.term -> l).toMap
+    val seqLists = tokenSeq.map(byTerm).toArray
+    // deleted docs can't be candidates, so filtering the exclusion list is
+    // merely consistent, never semantic
+    val excl = segsByTerm.get(exclude)
+      .map(s => withoutDeletedPos(decodePosList(exclude, s), deleted)).orNull
+    chainTopK(lists, seqLists, lens, idfByTerm, k1, b, avgdl, k,
+      accScored, Int.MaxValue, excl, pre, post)
+  }
+
   /** Multi-phrase scoring for one shard (Lucene MultiPhraseQuery): each
     * query position holds a SET of alternative terms; a doc matches when
     * some run of consecutive token positions takes one alternative per
@@ -1969,7 +2057,9 @@ object Searcher {
                         lens: ShardLens, idfByTerm: Map[String, Double],
                         k1: Double, b: Double, avgdl: Double, k: Int,
                         accScored: LongAccumulator,
-                        maxEnd: Int): Iterator[Hit] = {
+                        maxEnd: Int,
+                        excl: PosList = null,
+                        exPre: Int = 0, exPost: Int = 0): Iterator[Hit] = {
     val k1p1 = k1 + 1.0
     // candidates that survive the conjunctive intersection (i.e. reach the
     // adjacency check) — the same "scored" meaning search() reports
@@ -2017,8 +2107,35 @@ object Searcher {
         }
         // span-first bound (Lucene SpanFirstQuery): `cur` holds the
         // LAST-token positions of complete chains, ascending — the span's
-        // exclusive end is cur(0)+1, so the earliest occurrence decides
-        if (cur.nonEmpty && cur(0) + 1 <= maxEnd) {
+        // exclusive end is cur(0)+1, so the earliest occurrence decides.
+        // span-not (Lucene SpanNotQuery): an occurrence qualifies when the
+        // exclude term has no position in [last − spanLen + 1 − pre,
+        // last + post]; chain ends ascend, so one monotone exclusion
+        // cursor serves every occurrence of the doc.
+        val accepted =
+          if (cur.isEmpty) false
+          else if (excl == null) cur(0) + 1 <= maxEnd
+          else {
+            excl.pos = gallop(excl.docs, excl.pos, cand)
+            if (excl.pos >= excl.docs.length || excl.docs(excl.pos) != cand)
+              true // exclude term absent from this doc
+            else {
+              val spanLen = seqLists.length
+              val ee = excl.off(excl.pos + 1)
+              var x = excl.off(excl.pos)
+              var ci = 0
+              var qualified = false
+              while (!qualified && ci < cur.length) {
+                val last = cur(ci)
+                val lo = last - spanLen + 1 - exPre
+                while (x < ee && excl.flat(x) < lo) x += 1
+                qualified = x >= ee || excl.flat(x) > last + exPost
+                ci += 1
+              }
+              qualified
+            }
+          }
+        if (accepted) {
           var score = 0.0
           val dlen = lens.lens((cand - lens.firstDocId).toInt).toDouble
           var i = 0

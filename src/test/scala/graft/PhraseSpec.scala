@@ -262,6 +262,51 @@ class PhraseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.searchPhrasePrefix("  ", 5))
   }
 
+  test("span-not: exclusion window drops overlapping occurrences") {
+    val s = new Searcher(spark, posIndex)
+    import org.apache.spark.sql.expressions.Window
+    // raw-text derivation: docs where some "import def" occurrence has no
+    // 'class' within [start-1, end-1+1] (pre = post = 1)
+    val (pre, post) = (1, 1)
+    val withId = files.withColumn("docId",
+      (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
+    val docsToks = withId.select($"docId", $"content").as[(Long, String)]
+      .collect().map { case (d, c) => (d, Tokenize.tokenize(c).toArray) }
+    def want(ex: String): Set[Long] = docsToks.collect { case (d, toks)
+      if toks.indices.dropRight(1).exists(i =>
+        toks(i) == "import" && toks(i + 1) == "def" &&
+          !(math.max(0, i - pre) to math.min(toks.length - 1, i + 1 + post))
+            .exists(j => toks(j) == ex)) => d }.toSet
+    val got = s.searchSpanNot("import def", "class", 100000, pre, post)
+      .collect().map(_.docId).toSet
+    val phraseDocs = s.searchPhrase("import def", 100000).collect()
+      .map(_.docId).toSet
+    assert(got == want("class"))
+    // non-vacuous on this fixture: strictly between empty and all phrase docs
+    assert(got.nonEmpty && got != phraseDocs && got.subsetOf(phraseDocs))
+    // scores are the phrase query's (the include span decides; rank-identical
+    // to the brute-force oracle)
+    val oracle = OracleBm25.topKSpanNot(files, "import def", "class", 20, pre, post)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val gotTop = s.searchSpanNot("import def", "class", 20, pre, post)
+      .collect().map(h => (h.docId, h.score))
+    assert(gotTop.sameElements(oracle),
+      s"\n got  ${gotTop.toSeq}\n want ${oracle.toSeq}")
+    // pure-overlap exclusion (pre = post = 0) of a term NOT in the phrase
+    // is the identity: distinct words can't share positions
+    assert(s.searchSpanNot("import def", "val", 50, 0, 0).collect().toSeq ==
+      s.searchPhrase("import def", 50).collect().toSeq)
+    // excluding a phrase MEMBER with overlap kills every occurrence
+    assert(s.searchSpanNot("import def", "def", 50, 0, 0).isEmpty)
+    // a dictionary-dead exclude term excludes nothing
+    assert(s.searchSpanNot("import def", "zzqxnope", 50, 3, 3).collect().toSeq ==
+      s.searchPhrase("import def", 50).collect().toSeq)
+    intercept[IllegalArgumentException](
+      s.searchSpanNot("import def", "class", 5, -1, 0))
+    intercept[IllegalArgumentException](
+      s.searchSpanNot("import def", "two words", 5))
+  }
+
   test("multi-phrase degenerate forms are bit-exact") {
     val s = new Searcher(spark, posIndex)
     // all-singleton slots ≡ searchPhrase
