@@ -696,6 +696,46 @@ object BoolQuery {
     case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
   }
 
+  /** Affine decomposition of [[upperBound]]: for a DISMAX-FREE tree the
+    * bound is LINEAR in the per-leaf ceilings —
+    * `upperBound(q, ub) = Σ_t w(t)·ub(t) + c` for every ub — because every
+    * remaining node is a sum (And/Or/Msm), a scale (Boost), a constant
+    * (Const → v, Not → 0), or a leaf (Term / Phrase members each weight 1;
+    * a term reached through several leaves/paths accumulates its weights).
+    * Returns None when the tree holds a DisMax (its max is not affine) —
+    * callers keep the generic tree walk there. The per-shard kernels use
+    * this to turn the per-candidate WAND bound computations into scalar
+    * loops: same Doubles, no tree re-walk (term weights sum in ascending
+    * key order, matching the tree walk's left-to-right addition up to the
+    * commutations the walk itself performs across equal-keyed subtrees —
+    * verified structurally in BoolQuerySpec against [[upperBound]]).
+    */
+  def boundWeights(q: BoolQ): Option[(Map[String, Double], Double)] = {
+    def merge(xs: Seq[(Map[String, Double], Double)]): (Map[String, Double], Double) =
+      xs.foldLeft(Map.empty[String, Double] -> 0.0) { case ((m, c), (m2, c2)) =>
+        (m2.foldLeft(m) { case (acc, (t, w)) =>
+          acc.updated(t, acc.getOrElse(t, 0.0) + w) }, c + c2)
+      }
+    def walk(q: BoolQ): Option[(Map[String, Double], Double)] = q match {
+      case Term(t) => Some(Map(t -> 1.0) -> 0.0)
+      case Phrase(ts) => Some(ts.distinct.map(_ -> 1.0).toMap -> 0.0)
+      case And(xs) => traverse(xs).map(merge)
+      case Or(xs) => traverse(xs).map(merge)
+      case Msm(xs, _) => traverse(xs).map(merge)
+      case Not(_) => Some(Map.empty[String, Double] -> 0.0)
+      case Const(_, v) => Some(Map.empty[String, Double] -> v)
+      case Boost(x, f) => walk(x).map { case (m, c) =>
+        m.map { case (t, w) => t -> w * f } -> c * f }
+      case DisMax(_, _) => None
+      case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
+    }
+    def traverse(xs: Vector[BoolQ]): Option[Vector[(Map[String, Double], Double)]] =
+      xs.foldLeft(Option(Vector.empty[(Map[String, Double], Double)])) {
+        (acc, x) => acc.flatMap(v => walk(x).map(v :+ _))
+      }
+    walk(q)
+  }
+
   /** Evaluate match + score for one document. `score(t)` must only be
     * called for present terms. Returns NaN when unmatched (callers test
     * with [[matches]] first or use [[evalScore]]'s contract: a matched

@@ -2599,10 +2599,37 @@ object Searcher {
       val l = lists(i)
       if (l.pos < l.docs.length) l.idfK1p1 * l.blockMax(l.pos >>> 7) else 0.0
     }
+    // affine fast path (DisMax-free trees): upperBound is Σ w_i·ub_i + c,
+    // so the per-candidate bound computations below become scalar loops
+    // instead of O(tree) walks with hashed leaf lookups — the difference
+    // between WAND-class and tree-walk-class cost on wide expanded ORs.
+    // The scalar sum's order differs from the tree walk's; nonnegative
+    // reorder error is ≤ (n−1)·ε·Σ (~1e-14 rel at n=65), absorbed many
+    // orders of magnitude over by the stored blockMax float-up margin —
+    // the 1e-12 inflation makes the slack explicit. Inflating a bound only
+    // weakens pruning, never admissibility.
+    val affine: Option[(Array[Double], Double)] =
+      if (!pruning) None
+      else BoolQuery.boundWeights(tree).map { case (w, c) =>
+        (Array.tabulate(n)(i => w.getOrElse(present(i), 0.0)), c)
+      }
+    @inline def inflate(x: Double): Double = x + 1e-12 * x
+    val wArr: Array[Double] = affine.map(_._1).orNull
+    val wConst: Double = affine.map(_._2).getOrElse(0.0)
+    // uninflated affine total — per-candidate bounds derive from it by
+    // swapping single-list contributions, then inflate at the comparison
+    val affineTotal: Double =
+      if (wArr == null) 0.0
+      else {
+        var s = wConst; var i = 0
+        while (i < n) { s += wArr(i) * listMaxUb(i); i += 1 }
+        s
+      }
     val constUb: Double =
-      if (pruning)
+      if (!pruning) Double.PositiveInfinity
+      else if (wArr != null) inflate(affineTotal)
+      else
         BoolQuery.upperBound(tree, t => byTerm.get(t).map(listMaxUb).getOrElse(0.0))
-      else Double.PositiveInfinity
 
     val heap = mutable.PriorityQueue.empty[Hit](
       Ordering.by((h: Hit) => (-h.score, h.docId)))
@@ -2643,11 +2670,16 @@ object Searcher {
           lead.pos = li
           // tier 2a: lead at its current block, other leaves optimistic
           val b1 =
-            if (pruning)
+            if (!pruning) Double.PositiveInfinity
+            else if (wArr != null)
+              // the affine total with the lead's ceiling swapped for its
+              // current block's
+              inflate(affineTotal - wArr(leadIdx) * listMaxUb(leadIdx)
+                + wArr(leadIdx) * (lead.idfK1p1 * lead.blockMax(li >>> 7)))
+            else
               BoolQuery.upperBound(tree, t =>
                 if (t == leadTerm) lead.idfK1p1 * lead.blockMax(li >>> 7)
                 else byTerm.get(t).map(listMaxUb).getOrElse(0.0))
-            else Double.PositiveInfinity
           if (b1 <= th) pruned += 1
           else {
             var i = 0
@@ -2659,12 +2691,16 @@ object Searcher {
             }
             // tier 3: block-max recheck with exact presence
             val b2 =
-              if (pruning)
+              if (!pruning) Double.PositiveInfinity
+              else if (wArr != null) {
+                var s = wConst; var j = 0
+                while (j < n) { if (has(j)) s += wArr(j) * curUb(j); j += 1 }
+                inflate(s)
+              } else
                 BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                   case Some(j) if has(j) => curUb(j)
                   case _ => 0.0
                 })
-              else Double.PositiveInfinity
             if (b2 <= th) pruned += 1
             else evalAt(cand)
           }
@@ -2706,15 +2742,21 @@ object Searcher {
           java.util.Arrays.fill(inPrefix, false)
           var p = -1
           var i = 0
+          // affine: the prefix bound is a running scalar sum — the classic
+          // WAND accumulator — instead of a tree re-walk per prefix step
+          var acc = wConst
           while (p < 0 && i < m && curDoc(order(i)) != Long.MaxValue) {
             inPrefix(order(i)) = true
             val ub =
-              if (pruning)
+              if (!pruning) Double.PositiveInfinity
+              else if (wArr != null) {
+                acc += wArr(order(i)) * listMaxUb(order(i))
+                inflate(acc)
+              } else
                 BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                   case Some(j) if inPrefix(j) => listMaxUb(j)
                   case _ => 0.0
                 })
-              else Double.PositiveInfinity
             if (ub > th) p = i
             i += 1
           }
@@ -2734,12 +2776,16 @@ object Searcher {
               while (i < runEnd) { has(order(i)) = true; i += 1 }
               // tier 3: block-max recheck before the veto lookup + eval
               val b2 =
-                if (pruning)
+                if (!pruning) Double.PositiveInfinity
+                else if (wArr != null) {
+                  var s2 = wConst; var j2 = 0
+                  while (j2 < n) { if (has(j2)) s2 += wArr(j2) * curUb(j2); j2 += 1 }
+                  inflate(s2)
+                } else
                   BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                     case Some(j) if has(j) => curUb(j)
                     case _ => 0.0
                   })
-                else Double.PositiveInfinity
               if (b2 <= th) pruned += 1
               else {
                 // gallop the negative-only lists for the NOT veto test

@@ -496,6 +496,39 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(filtered.map(_._1).toSet == conj.map(_._1).toSet)
   }
 
+  test("affine bound decomposition equals the tree-walk bound") {
+    // DisMax-free trees: upperBound is affine in the leaf ceilings, so the
+    // kernels' scalar fast path must produce the same REAL value as the
+    // tree walk (compared here at 1e-9 relative — the kernels additionally
+    // inflate by 1e-12 before the prune test)
+    val rnd = new scala.util.Random(7)
+    val terms = Vector("a", "b", "c", "d", "e")
+    def randTree(depth: Int): BoolQ =
+      if (depth == 0) Term(terms(rnd.nextInt(terms.length)))
+      else rnd.nextInt(7) match {
+        case 0 => And(Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1)))
+        case 1 => Or(Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1)))
+        case 2 => Not(randTree(depth - 1))
+        case 3 => Boost(randTree(depth - 1), 0.25 + rnd.nextDouble() * 3)
+        case 4 => Const(randTree(depth - 1), rnd.nextDouble() * 2)
+        case 5 => Msm(Vector.fill(3)(randTree(depth - 1)), 1 + rnd.nextInt(3))
+        case _ => Phrase(Vector("a", "b"))
+      }
+    for (_ <- 1 to 200) {
+      val t = randTree(2 + rnd.nextInt(2))
+      val ubs = terms.map(_ -> rnd.nextDouble() * 5).toMap
+      val (w, c) = BoolQuery.boundWeights(t).get
+      val affine = w.map { case (tm, wt) => wt * ubs(tm) }.sum + c
+      val walk = BoolQuery.upperBound(t, ubs)
+      assert(math.abs(affine - walk) <= 1e-9 * math.max(1.0, walk),
+        s"tree $t: affine $affine vs walk $walk")
+    }
+    // DisMax anywhere → no decomposition (the kernels keep the tree walk)
+    assert(BoolQuery.boundWeights(
+      And(Vector(Term("a"), DisMax(Vector(Term("b")), 0.5)))).isEmpty)
+    intercept[IllegalStateException](BoolQuery.boundWeights(Wild("a*")))
+  }
+
   test("multi-term leaves: parser shape and validation") {
     assert(BoolQuery.parse("util_1*") == Wild("util_1*"))
     assert(BoolQuery.parse("Ut?l_7 def") ==
