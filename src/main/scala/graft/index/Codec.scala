@@ -161,6 +161,48 @@ object Codec {
     out
   }
 
+  /** [[encodePositions]] over a FLAT position array segmented by the per-doc
+    * counts (`tfs`): doc i's positions are `flat[off(i) until off(i+1))`.
+    * Byte-identical to `encodePositions(split-up lists)` — used by the
+    * map-side draft encoder, which accumulates positions flat to avoid one
+    * array allocation per (term, doc).
+    */
+  def encodePositionsFlat(flat: Array[Int], tfs: Array[Int]): Array[Byte] = {
+    var total = 0
+    var o = 0
+    var d = 0
+    while (d < tfs.length) {
+      var prev = 0
+      var i = 0
+      while (i < tfs(d)) {
+        val v = flat(o + i)
+        require(i == 0 || v > prev, "positions must be strictly increasing")
+        total += vlen((if (i == 0) v else v - prev).toLong)
+        prev = v
+        i += 1
+      }
+      o += tfs(d)
+      d += 1
+    }
+    val out = new Array[Byte](total)
+    var pos = 0
+    o = 0
+    d = 0
+    while (d < tfs.length) {
+      var prev = 0
+      var i = 0
+      while (i < tfs(d)) {
+        val v = flat(o + i)
+        pos = writeVLong(out, pos, (if (i == 0) v else v - prev).toLong)
+        prev = v
+        i += 1
+      }
+      o += tfs(d)
+      d += 1
+    }
+    out
+  }
+
   /** Decode position lists given the per-doc counts (the decoded tfs).
     * Returns a flat array; doc i's positions are
     * `flat[offsets(i) until offsets(i+1))` with `offsets` = prefix sums of

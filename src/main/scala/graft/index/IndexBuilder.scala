@@ -118,10 +118,19 @@ object IndexBuilder {
     * with a differing hash is a MISMATCH failure.
     */
   private def verifyShaSidecar(spark: SparkSession, files: DataFrame,
-                               corpusDir: String, keyCols: Seq[String]): Unit = {
-    val checked = files
+                               corpusDir: String, keyCols: Seq[String]): Unit =
+    verifyShaKeyed(spark, files
       .select(col("repo"), col("path"), col("commit"),
-        sha2(col("content"), 256).as("got_sha"))
+        sha2(col("content"), 256).as("got_sha")), corpusDir, keyCols)
+
+  /** The sidecar compare over an ALREADY-HASHED (repo, path, commit,
+    * got_sha) projection — lets buildFast verify from the persisted docId
+    * sort pass (which computes sha256 anyway) instead of paying a second
+    * full corpus scan + sha computation (guide §1.2: remove a whole pass).
+    */
+  private def verifyShaKeyed(spark: SparkSession, keyed: DataFrame,
+                             corpusDir: String, keyCols: Seq[String]): Unit = {
+    val checked = keyed
       .join(CorpusSource.readRefSha(spark, corpusDir), keyCols, "left")
       .agg(
         count(lit(1)).as("total"),
@@ -637,49 +646,336 @@ object IndexBuilder {
     }
   }
 
-  private def encodeSegments(it: Iterator[(String, Long, Int, Int, Int)],
-      k1: Double, b: Double, avgdl: Double,
+  /** Growable (docId, tf, dlen[, positions]) run for one (term, shard) pair
+    * inside the map-side draft encoder. `add` is called once per token
+    * occurrence: a repeat docId increments the last tf (occurrences of a doc
+    * arrive consecutively — the corpus iterator is docId-ascending), a new
+    * docId appends a posting. Positions accumulate FLAT (segmented by the
+    * tfs at encode time) to avoid one array per (term, doc).
+    */
+  private final class RunBuilder(positional: Boolean) {
+    var docs = new Array[Long](4)
+    var tfs = new Array[Int](4)
+    var dls = new Array[Int](4)
+    var n = 0
+    val pos: scala.collection.mutable.ArrayBuilder.ofInt =
+      if (positional) new scala.collection.mutable.ArrayBuilder.ofInt else null
+
+    /** One token occurrence. Returns true when a NEW posting was appended
+      * (first occurrence of the term in this doc) — the caller patches its
+      * dlen at doc end via [[patchDlen]], because the doc's token count is
+      * unknown until the whole doc is scanned (single-pass tokenize).
+      */
+    def addOcc(docId: Long, p: Int): Boolean = {
+      if (pos != null) pos += p
+      if (n > 0 && docs(n - 1) == docId) { tfs(n - 1) += 1; false }
+      else {
+        if (n == docs.length) {
+          val cap = n << 1
+          docs = java.util.Arrays.copyOf(docs, cap)
+          tfs = java.util.Arrays.copyOf(tfs, cap)
+          dls = java.util.Arrays.copyOf(dls, cap)
+        }
+        docs(n) = docId; tfs(n) = 1; n += 1
+        true
+      }
+    }
+
+    def patchDlen(dl: Int): Unit = dls(n - 1) = dl
+  }
+
+  /** Open-addressed (term → RunBuilder) table for one shard: tokens probe by
+    * their lowercased CHARS straight out of the content string, so the
+    * per-token String materialization of `Tokenize.tokenize` (~123M
+    * allocations per bench build) collapses to one String per DISTINCT
+    * (term, shard) (~18M). Power-of-2 capacity, linear probing, 31-poly
+    * hash over lowercased chars (the tokenizer's ASCII contract: lowercasing
+    * is 1:1 and never moves a char across the class boundary).
+    */
+  private final class TokenTable(positional: Boolean) {
+    private var cap = 1 << 12
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var vals = new Array[RunBuilder](cap)
+    private var size = 0
+
+    @inline private def lower(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap <<= 1; mask = cap - 1
+      keys = new Array[String](cap)
+      vals = new Array[RunBuilder](cap)
+      var i = 0
+      while (i < ok.length) {
+        val k = ok(i)
+        if (k != null) {
+          var j = k.hashCode & mask
+          while (keys(j) != null) j = (j + 1) & mask
+          keys(j) = k; vals(j) = ov(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Probe by the lowercased run s[start, end) without allocating. The
+      * 31-poly hash over lowercased chars IS String.hashCode of the
+      * lowercased token, so `grow`'s rehash by key.hashCode agrees.
+      */
+    def lookupRun(s: String, start: Int, end: Int): RunBuilder = {
+      var h = 0
+      var i = start
+      while (i < end) { h = 31 * h + lower(s.charAt(i)); i += 1 }
+      var j = h & mask
+      val len = end - start
+      while (true) {
+        val k = keys(j)
+        if (k == null) {
+          val buf = new Array[Char](len)
+          var x = 0
+          while (x < len) { buf(x) = lower(s.charAt(start + x)); x += 1 }
+          val key = new String(buf)
+          keys(j) = key
+          val b = new RunBuilder(positional)
+          vals(j) = b
+          size += 1
+          if (size > (cap >> 2) * 3) grow()
+          return b
+        }
+        if (k.length == len) {
+          var x = 0
+          while (x < len && k.charAt(x) == lower(s.charAt(start + x))) x += 1
+          if (x == len) return vals(j)
+        }
+        j = (j + 1) & mask
+      }
+      null // unreachable
+    }
+
+    /** Probe by an already-materialized (lowercased) token — the non-ASCII
+      * regex-fallback path.
+      */
+    def lookupToken(t: String): RunBuilder = {
+      var j = t.hashCode & mask
+      while (true) {
+        val k = keys(j)
+        if (k == null) {
+          keys(j) = t
+          val b = new RunBuilder(positional)
+          vals(j) = b
+          size += 1
+          if (size > (cap >> 2) * 3) grow()
+          return b
+        }
+        if (k == t || (k.length == t.length && k.equals(t))) return vals(j)
+        j = (j + 1) & mask
+      }
+      null // unreachable
+    }
+
+    def foreachEntry(f: (String, RunBuilder) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != null) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+  }
+
+  /** MAP-SIDE draft encoder (see [[graft.SegDraft]]): tokenizes its
+    * partition's contiguous ascending docId run and emits one compressed
+    * draft per (term, shard) — whole posting runs for every shard fully
+    * contained in the partition, partial runs only where a shard straddles
+    * the partition boundary (merged reduce-side). Shards arrive
+    * consecutively because shard = docId / dps is monotone in docId, so the
+    * working map holds ONE shard's terms at a time (bounded by shard
+    * geometry, not partition size).
+    */
+  private def draftSegments(rows: Iterator[(Long, String)], dps: Int,
+                            positional: Boolean): Iterator[Product] = {
+    val in = rows.buffered
+    new Iterator[Product] {
+      private var out: Iterator[Product] = Iterator.empty
+      private var prevId = Long.MinValue
+      def hasNext: Boolean = {
+        while (!out.hasNext && in.hasNext) out = nextShard()
+        out.hasNext
+      }
+      def next(): Product = {
+        if (!hasNext) throw new NoSuchElementException
+        out.next()
+      }
+      // builders appended-to by the CURRENT doc (patched with its dlen once
+      // the doc's token count is known) — reused across docs
+      private val touched = new java.util.ArrayList[RunBuilder](256)
+
+      private def nextShard(): Iterator[Product] = {
+        val shard = (in.head._1 / dps).toInt
+        val m = new TokenTable(positional)
+        while (in.hasNext && (in.head._1 / dps).toInt == shard) {
+          val (docId, content) = in.next()
+          // the draft design REQUIRES ascending docIds (posting runs must be
+          // sorted and one shard must form one consecutive slice) — the
+          // range-sorted persisted corpus guarantees it; fail loud otherwise
+          require(docId > prevId,
+            s"corpus rows out of docId order: $docId after $prevId")
+          prevId = docId
+          touched.clear()
+          val n = content.length
+          // ASCII prescan, exactly Tokenize.tokenize's fast-path gate: any
+          // char ≥ 0x80 sends the WHOLE doc to the regex definition of record
+          var ascii = true
+          var i = 0
+          while (i < n) {
+            if (content.charAt(i) >= 0x80) { ascii = false; i = n } else i += 1
+          }
+          var dlen = 0
+          if (ascii) {
+            i = 0
+            while (i < n) {
+              val c = content.charAt(i)
+              if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+                  (c >= 'A' && c <= 'Z') || c == '_') {
+                val start = i
+                i += 1
+                var cc: Char = 0
+                while (i < n && {
+                  cc = content.charAt(i)
+                  (cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9') ||
+                    (cc >= 'A' && cc <= 'Z') || cc == '_'
+                }) i += 1
+                val b = m.lookupRun(content, start, i)
+                if (b.addOcc(docId, dlen)) touched.add(b)
+                dlen += 1
+              } else i += 1
+            }
+          } else {
+            val toks = Tokenize.tokenize(content)
+            dlen = toks.length
+            var j = 0
+            while (j < toks.length) {
+              val b = m.lookupToken(toks(j))
+              if (b.addOcc(docId, j)) touched.add(b)
+              j += 1
+            }
+          }
+          var t = 0
+          while (t < touched.size()) { touched.get(t).patchDlen(dlen); t += 1 }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Product]
+        m.foreachEntry { (term, b) =>
+          val da = java.util.Arrays.copyOf(b.docs, b.n)
+          val fa = java.util.Arrays.copyOf(b.tfs, b.n)
+          val la = java.util.Arrays.copyOf(b.dls, b.n)
+          var sumTf = 0L
+          var i = 0
+          while (i < b.n) { sumTf += fa(i); i += 1 }
+          out += (if (!positional)
+            SegDraft(term, shard, b.n, sumTf, Codec.encodeDeltas(da),
+              Codec.encodeInts(fa), Codec.encodeInts(la))
+          else
+            SegDraftP(term, shard, b.n, sumTf, Codec.encodeDeltas(da),
+              Codec.encodeInts(fa), Codec.encodeInts(la),
+              Codec.encodePositionsFlat(b.pos.result(), fa)))
+        }
+        out.iterator
+      }
+    }
+  }
+
+  /** REDUCE-SIDE finalize over (term, shard)-sorted drafts: a single draft
+    * keeps its encoded bytes verbatim (decode only to derive block-max
+    * metadata); boundary straddlers — several drafts of one (term, shard) —
+    * are merged in first-docId order and re-encoded. The published segments
+    * are bit-identical to the old row-wise reduce encode (same arrays into
+    * the same [[Codec.makeSeg]] math).
+    */
+  private def finalizeSegments(it: Iterator[SegDraft], k1: Double, b: Double,
+      avgdl: Double,
       counter: org.apache.spark.util.LongAccumulator): Iterator[PostingSeg] = {
     val buf = it.buffered
     new Iterator[PostingSeg] {
       def hasNext: Boolean = buf.hasNext
       def next(): PostingSeg = {
         if (counter != null) counter.add(1)
-        val (term, _, _, _, shard) = buf.head
-        val docs = Array.newBuilder[Long]
-        val tfs = Array.newBuilder[Int]
-        val dls = Array.newBuilder[Int]
-        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-          val (_, d, f, dl, _) = buf.next()
-          docs += d; tfs += f; dls += dl
+        val h = buf.next()
+        if (!buf.hasNext || buf.head.term != h.term || buf.head.shard != h.shard) {
+          val da = Codec.decodeDeltas(h.docBytes, h.n)
+          val fa = Codec.decodeInts(h.tfBytes, h.n)
+          val la = Codec.decodeInts(h.dlenBytes, h.n)
+          val (firsts, maxes, maxTfs, minDls) =
+            Codec.blockMeta(da, fa, la, k1, b, avgdl)
+          PostingSeg(h.term, h.shard, h.n, h.sumTf, h.docBytes, h.tfBytes,
+            firsts, maxes, maxTfs, minDls)
+        } else {
+          val parts = scala.collection.mutable.ArrayBuffer(h)
+          while (buf.hasNext && buf.head.term == h.term && buf.head.shard == h.shard)
+            parts += buf.next()
+          val dec = parts.map(p => (Codec.decodeDeltas(p.docBytes, p.n),
+            Codec.decodeInts(p.tfBytes, p.n),
+            Codec.decodeInts(p.dlenBytes, p.n))).sortBy(_._1.head)
+          var i = 1
+          while (i < dec.length) {
+            require(dec(i - 1)._1.last < dec(i)._1.head,
+              s"overlapping boundary drafts for term '${h.term}' shard ${h.shard}")
+            i += 1
+          }
+          Codec.makeSeg(h.term, h.shard, Array.concat(dec.map(_._1).toSeq: _*),
+            Array.concat(dec.map(_._2).toSeq: _*),
+            Array.concat(dec.map(_._3).toSeq: _*), k1, b, avgdl)
         }
-        val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-        Codec.makeSeg(term, shard, da, fa, la, k1, b, avgdl)
       }
     }
   }
 
-  /** Positional twin of [[encodeSegments]]. */
-  private def encodeSegmentsP(it: Iterator[(String, Long, Int, Int, Int, Array[Int])],
-      k1: Double, b: Double, avgdl: Double,
+  /** Positional twin of [[finalizeSegments]]: per-doc position lists are
+    * self-contained, so merged posBytes is the concatenation in the same
+    * first-docId order.
+    */
+  private def finalizeSegmentsP(it: Iterator[SegDraftP], k1: Double, b: Double,
+      avgdl: Double,
       counter: org.apache.spark.util.LongAccumulator): Iterator[PostingSegP] = {
     val buf = it.buffered
     new Iterator[PostingSegP] {
       def hasNext: Boolean = buf.hasNext
       def next(): PostingSegP = {
         if (counter != null) counter.add(1)
-        val (term, _, _, _, shard, _) = buf.head
-        val docs = Array.newBuilder[Long]
-        val tfs = Array.newBuilder[Int]
-        val dls = Array.newBuilder[Int]
-        val poss = Array.newBuilder[Array[Int]]
-        while (buf.hasNext && buf.head._1 == term && buf.head._5 == shard) {
-          val (_, d, f, dl, _, ps) = buf.next()
-          docs += d; tfs += f; dls += dl; poss += ps
+        val h = buf.next()
+        if (!buf.hasNext || buf.head.term != h.term || buf.head.shard != h.shard) {
+          val da = Codec.decodeDeltas(h.docBytes, h.n)
+          val fa = Codec.decodeInts(h.tfBytes, h.n)
+          val la = Codec.decodeInts(h.dlenBytes, h.n)
+          val (firsts, maxes, maxTfs, minDls) =
+            Codec.blockMeta(da, fa, la, k1, b, avgdl)
+          PostingSegP(h.term, h.shard, h.n, h.sumTf, h.docBytes, h.tfBytes,
+            firsts, maxes, maxTfs, minDls, h.posBytes)
+        } else {
+          val parts = scala.collection.mutable.ArrayBuffer(h)
+          while (buf.hasNext && buf.head.term == h.term && buf.head.shard == h.shard)
+            parts += buf.next()
+          val dec = parts.map(p => (Codec.decodeDeltas(p.docBytes, p.n),
+            Codec.decodeInts(p.tfBytes, p.n),
+            Codec.decodeInts(p.dlenBytes, p.n), p.posBytes)).sortBy(_._1.head)
+          var i = 1
+          while (i < dec.length) {
+            require(dec(i - 1)._1.last < dec(i)._1.head,
+              s"overlapping boundary drafts for term '${h.term}' shard ${h.shard}")
+            i += 1
+          }
+          val pb = {
+            val total = dec.map(_._4.length).sum
+            val out = new Array[Byte](total)
+            var o = 0
+            dec.foreach { p =>
+              System.arraycopy(p._4, 0, out, o, p._4.length); o += p._4.length
+            }
+            out
+          }
+          Codec.makeSegP(h.term, h.shard, Array.concat(dec.map(_._1).toSeq: _*),
+            Array.concat(dec.map(_._2).toSeq: _*),
+            Array.concat(dec.map(_._3).toSeq: _*), k1, b, avgdl, pb)
         }
-        val da = docs.result(); val fa = tfs.result(); val la = dls.result()
-        Codec.makeSegP(term, shard, da, fa, la, k1, b, avgdl,
-          Codec.encodePositions(poss.result()))
       }
     }
   }
@@ -800,18 +1096,18 @@ object IndexBuilder {
     // content rows themselves: the reference sidecar check moves ~100 B/row
     // through the exchange instead of the full content (~KBs/row), so the
     // content crosses exactly ONE exchange total (the docId range sort
-    // below). The extra content scan is narrow + parallel; a violation
-    // fails the build before anything is written. NOTE: the corpus is read
-    // twice (this verify pass, then the sort pass) and is assumed immutable
-    // for the duration of the build — the same contract the reference's
-    // pre-flight CsvChecker pass makes before its protocol run. Re-verified
-    // on every (re)attempt that will still READ the corpus: only the docs
-    // and postings stages consume content (dlens/dict derive from committed
-    // artifacts), so a dict-only resume — which never touches the corpus —
-    // must not pay a full-corpus sha scan either.
+    // below). r6: the hashes come from the SAME persisted sort pass that
+    // defines docIds (fullSorted carries sha256 anyway), so the corpus is
+    // read ONCE and sha256 computed ONCE instead of twice each — the
+    // verify join runs inside `withId`, i.e. still before any artifact is
+    // written (the docs write forces withId first). The corpus is assumed
+    // immutable for the duration of the build — the same contract the
+    // reference's pre-flight CsvChecker pass makes before its protocol run.
+    // Re-verified on every (re)attempt that will still READ the corpus:
+    // only the docs and postings stages consume content (dlens/dict derive
+    // from committed artifacts), so a dict-only resume — which never forces
+    // withId — pays no sha scan either.
     val corpusStagesDone = Seq("docs", "postings").forall(stages.isDone)
-    if (cfg.verifySha && !corpusStagesDone)
-      verifyShaSidecar(spark, files, corpusDir, keyCols)
 
     // ONE global range sort of the full rows defines the docId order; docIds
     // are partition offsets + local position (no window, no join-back).
@@ -842,6 +1138,15 @@ object IndexBuilder {
         (0 until P).map { pid => val o = pid -> acc; acc += counts.getOrElse(pid, 0L); o }.toMap
       }
       numDocsFromSort = counts.values.sum
+      // verify from the persisted sort (sha256 already computed there): the
+      // counts job above materialized the cache, so this join re-reads the
+      // cached blocks instead of re-scanning + re-hashing the corpus
+      if (cfg.verifySha && !corpusStagesDone) {
+        verifyShaKeyed(spark, fullSorted.toDF()
+          .select(col("repo"), col("path"), col("commit"),
+            col("sha256").as("got_sha")), corpusDir, keyCols)
+        phase("sha-verify")
+      }
       val df = fullSorted.mapPartitions { it =>
         var next = offsets(TaskContext.getPartitionId())
         it.map { case (r, p, c, lang, sha, content) =>
@@ -937,38 +1242,30 @@ object IndexBuilder {
       }
       val mAcc: CollectionAccumulator[PartitionManifest] =
         spark.sparkContext.collectionAccumulator[PartitionManifest]("postingsManifests")
+      // r6: drafts are encoded MAP-SIDE (see SegDraft / draftSegments) — the
+      // (term, shard) exchange carries ~18M compressed runs instead of ~60M
+      // raw (term, docId, tf, dlen, shard) rows (≈2× fewer shuffle bytes,
+      // ≈3× fewer rows through the reduce sort at bench geometry; guide
+      // §2.3 "shuffle keys and metadata instead of payloads"). Hash
+      // partition (the reference's hash-bucket spill,
+      // psi/utils/hash_bucket_cache.cc:56-57) rather than range: a range
+      // partitioner would SAMPLE its child, re-running the tokenize pass;
+      // each output file is still (term, shard)-sorted, so parquet
+      // row-group pruning on `term IN (...)` stays tight — a term routes
+      // to exactly one file either way.
       if (!cfg.positions) {
-        val sortedTf = withId
+        val sortedDrafts = withId
           .select($"docId", $"content")
           .as[(Long, String)]
-          .mapPartitions { it =>
-            it.flatMap { case (docId, content) =>
-              val toks = Tokenize.tokenize(content)
-              val dlen = toks.length
-              val shard = (docId / dps).toInt
-              val m = new java.util.HashMap[String, Int]()
-              var i = 0
-              while (i < toks.length) { m.merge(toks(i), 1, Integer.sum _); i += 1 }
-              import scala.jdk.CollectionConverters._
-              m.entrySet().iterator().asScala.map { e =>
-                (e.getKey, docId, e.getValue.intValue(), dlen, shard)
-              }
-            }
-          }
-          .toDF("term", "docId", "tf", "dlen", "shard")
-          .as[(String, Long, Int, Int, Int)]
-          // hash partition (the reference's hash-bucket spill,
-          // psi/utils/hash_bucket_cache.cc:56-57) rather than range: a range
-          // partitioner would SAMPLE its child, re-running the tokenize pass;
-          // each output file is still (term, shard, docId)-sorted, so parquet
-          // row-group pruning on `term IN (...)` stays tight — a term routes
-          // to exactly one file either way
+          .mapPartitions(it =>
+            draftSegments(it, dps, positional = false)
+              .asInstanceOf[Iterator[SegDraft]])
           .repartition(P, $"term", $"shard")
-          .sortWithinPartitions($"term", $"shard", $"docId")
+          .sortWithinPartitions($"term", $"shard")
         if (!cfg.partitionedResume) {
-          sortedTf
+          sortedDrafts
             .mapPartitions(it => manifested(mAcc, "postings", 1L)(
-              encodeSegments(it, k1, b, avgdl, segCounter)))
+              finalizeSegments(it, k1, b, avgdl, segCounter)))
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           // per-partition committed parts + publish — see PartStore; the
@@ -982,54 +1279,31 @@ object IndexBuilder {
             System.err.println(s"[buildFast] partitioned resume: " +
               s"${committed.value.size}/$P postings partitions already " +
               "committed — re-encoding only the rest")
-          sortedTf.foreachPartition { (it: Iterator[(String, Long, Int, Int, Int)]) =>
+          sortedDrafts.foreachPartition { (it: Iterator[SegDraft]) =>
             val tc = TaskContext.get()
             if (!committed.value.contains(tc.partitionId()))
               PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
                 manifested(mAcc, "postings", 1L)(
-                  encodeSegments(it, k1, b, avgdl, null)), positional = false)
+                  finalizeSegments(it, k1, b, avgdl, null)), positional = false)
           }
           if (cfg.stopAfterStage == "postings_parts") stages.abort()
           else publishFromParts(spark, indexDir, partsDir, P, positional = false)
         }
       } else {
-        // positional variant (opt-in): each (term, docId) row carries the
-        // ascending in-document token positions; the segment gains posBytes
+        // positional variant (opt-in): drafts additionally carry posBytes
         // (PostingSegP) enabling phrase queries (Searcher.searchPhrase)
-        val sortedTfP = withId
+        val sortedDraftsP = withId
           .select($"docId", $"content")
           .as[(Long, String)]
-          .mapPartitions { it =>
-            it.flatMap { case (docId, content) =>
-              val toks = Tokenize.tokenize(content)
-              val dlen = toks.length
-              val shard = (docId / dps).toInt
-              val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
-              var i = 0
-              while (i < toks.length) {
-                var bld = m.get(toks(i))
-                if (bld == null) {
-                  bld = new scala.collection.mutable.ArrayBuilder.ofInt
-                  m.put(toks(i), bld)
-                }
-                bld += i
-                i += 1
-              }
-              import scala.jdk.CollectionConverters._
-              m.entrySet().iterator().asScala.map { e =>
-                val ps = e.getValue.result()
-                (e.getKey, docId, ps.length, dlen, shard, ps)
-              }
-            }
-          }
-          .toDF("term", "docId", "tf", "dlen", "shard", "pos")
-          .as[(String, Long, Int, Int, Int, Array[Int])]
-          .repartition(P, $"term", $"shard") // see non-positional branch note
-          .sortWithinPartitions($"term", $"shard", $"docId")
+          .mapPartitions(it =>
+            draftSegments(it, dps, positional = true)
+              .asInstanceOf[Iterator[SegDraftP]])
+          .repartition(P, $"term", $"shard")
+          .sortWithinPartitions($"term", $"shard")
         if (!cfg.partitionedResume) {
-          sortedTfP
+          sortedDraftsP
             .mapPartitions(it => manifested(mAcc, "postings", 1L)(
-              encodeSegmentsP(it, k1, b, avgdl, segCounter)))
+              finalizeSegmentsP(it, k1, b, avgdl, segCounter)))
             .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/postings.parquet")
         } else {
           val partsDir = s"$indexDir/_postings_parts"
@@ -1040,13 +1314,12 @@ object IndexBuilder {
             System.err.println(s"[buildFast] partitioned resume: " +
               s"${committed.value.size}/$P postings partitions already " +
               "committed — re-encoding only the rest")
-          sortedTfP.foreachPartition {
-            (it: Iterator[(String, Long, Int, Int, Int, Array[Int])]) =>
-              val tc = TaskContext.get()
-              if (!committed.value.contains(tc.partitionId()))
-                PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
-                  manifested(mAcc, "postings", 1L)(
-                    encodeSegmentsP(it, k1, b, avgdl, null)), positional = true)
+          sortedDraftsP.foreachPartition { (it: Iterator[SegDraftP]) =>
+            val tc = TaskContext.get()
+            if (!committed.value.contains(tc.partitionId()))
+              PartStore.writePart(partsDir, tc.partitionId(), tc.taskAttemptId(),
+                manifested(mAcc, "postings", 1L)(
+                  finalizeSegmentsP(it, k1, b, avgdl, null)), positional = true)
           }
           if (cfg.stopAfterStage == "postings_parts") stages.abort()
           else publishFromParts(spark, indexDir, partsDir, P, positional = true)
@@ -1089,6 +1362,15 @@ object IndexBuilder {
       spark.read.parquet(s"$indexDir/postings.parquet")
         .groupBy("term")
         .agg(sum($"n".cast("long")).as("df"), sum($"sumTf").as("cf"))
+        // r6: term-RANGE-sorted dictionary files — every expansion path
+        // (prefix/wildcard/regex-literal-prefix/term-range) filters the dict
+        // with `startsWith`/range predicates, and parquet min/max row-group
+        // stats only prune when files cover disjoint term ranges (guide §6).
+        // The range sampler re-executes the aggregate subtree once — a small
+        // build-side cost paid back on every expansion query. `observe`
+        // sits ABOVE the sort so the sampling pass cannot double-count it.
+        .repartitionByRange(P, $"term")
+        .sortWithinPartitions("term")
         .observe(dictObs, count(lit(1)).as("numTerms"))
         .as[TermStat]
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dict.parquet")

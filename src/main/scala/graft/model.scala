@@ -56,6 +56,32 @@ case class PostingSegP(term: String, shard: Int, n: Int, sumTf: Long,
                        blockMaxTf: Array[Int], blockMinDlen: Array[Int],
                        posBytes: Array[Byte])
 
+/** MAP-SIDE posting-segment draft (r6 build optimization): because docIds
+  * are dense ranks of the range-sorted corpus, each build map partition
+  * holds one contiguous ascending docId run — so a (term, shard) posting
+  * run is fully assembled inside a single map task except where a shard
+  * straddles a partition boundary. The tokenize pass therefore encodes
+  * whole compressed runs map-side and ships THESE through the (term, shard)
+  * exchange instead of one row per posting (~2× fewer shuffle bytes, ~3×
+  * fewer rows to sort at bench geometry). `dlenBytes` (varbyte per-posting
+  * doc lengths) rides along so the reduce side can compute block-max
+  * metadata and re-encode merged boundary straddlers; it is dropped from
+  * the published artifact. Block metadata is NOT shipped (4 arrays/row
+  * would outweigh the postings themselves at the ~7-posting median run
+  * length) — the reduce side derives it from the decoded arrays.
+  */
+case class SegDraft(term: String, shard: Int, n: Int, sumTf: Long,
+                    docBytes: Array[Byte], tfBytes: Array[Byte],
+                    dlenBytes: Array[Byte])
+
+/** Positional twin of [[SegDraft]]: `posBytes` as in [[PostingSegP]] —
+  * per-doc lists are self-contained, so boundary merges concatenate them in
+  * first-docId order.
+  */
+case class SegDraftP(term: String, shard: Int, n: Int, sumTf: Long,
+                     docBytes: Array[Byte], tfBytes: Array[Byte],
+                     dlenBytes: Array[Byte], posBytes: Array[Byte])
+
 /** Term dictionary row (df = doc frequency, cf = collection frequency) — the
   * analog of KeyInfo's per-key dup counts (psi/utils/table_utils.cc:280-374).
   */

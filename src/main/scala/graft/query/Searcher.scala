@@ -78,6 +78,16 @@ class Searcher(spark: SparkSession, indexDir: String,
   private lazy val docs = spark.read.parquet(allDirs.map(d => s"$d/docs.parquet"): _*)
   private lazy val dict = spark.read.parquet(allDirs.map(d => s"$d/dict.parquet"): _*)
 
+  /** Dictionary with df summed over base+deltas — the input every expansion
+    * path (prefix/wildcard/regex/range/fuzzy/suggest) ranks on. With a
+    * single index dir the term rows are already unique, so the
+    * exchange+aggregation over the whole dictionary is skipped (r6) — the
+    * expansion becomes filter → TakeOrdered on the pruned dict scan.
+    */
+  private lazy val dictByTerm =
+    if (allDirs.size == 1) dict.select($"term", $"df")
+    else dict.groupBy("term").agg(sum($"df").as("df"))
+
   /** Tombstoned (deleted) docs — parquet of (docId, shard) written by
     * `Tombstones.applyDeletes`. Lucene deletion semantics: deleted docs are
     * excluded from every query path, but df/avgdl remain those of the full
@@ -919,8 +929,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val loPred = l.map(v => if (includeLo) $"term" >= v else $"term" > v)
     val hiPred = h.map(v => if (includeHi) $"term" <= v else $"term" < v)
     val pred = (loPred.toSeq ++ hiPred.toSeq).reduce(_ && _)
-    dict.filter(pred)
-      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+    dictByTerm.filter(pred)
       .orderBy($"df".desc, $"term".asc)
       .limit(maxExpand)
       .select("term").as[String].collect().toSeq
@@ -932,9 +941,9 @@ class Searcher(spark: SparkSession, indexDir: String,
   def expandRegex(pattern: String, maxExpand: Int = 64): Seq[String] = {
     java.util.regex.Pattern.compile(pattern) // fail fast on driver, not in tasks
     val lit = Searcher.literalPrefix(pattern)
-    val base = if (lit.nonEmpty) dict.filter($"term".startsWith(lit)) else dict
+    val base =
+      if (lit.nonEmpty) dictByTerm.filter($"term".startsWith(lit)) else dictByTerm
     base.filter($"term".rlike("^(?:" + pattern + ")$"))
-      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
       .orderBy($"df".desc, $"term".asc)
       .limit(maxExpand)
       .select("term").as[String].collect().toSeq
@@ -983,12 +992,11 @@ class Searcher(spark: SparkSession, indexDir: String,
       s"prefixLength must be >= 0, got $prefixLength")
     val base =
       if (prefixLength > 0)
-        dict.filter($"term".startsWith(q.take(prefixLength)))
-      else dict
+        dictByTerm.filter($"term".startsWith(q.take(prefixLength)))
+      else dictByTerm
     base
       .filter(length($"term").between(q.length - maxEdits, q.length + maxEdits))
       .filter(levenshtein($"term", lit(q)) <= maxEdits)
-      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
       .withColumn("dist", levenshtein($"term", lit(q)))
       .orderBy($"dist".asc, $"df".desc, $"term".asc)
       .limit(maxExpand)
@@ -1022,8 +1030,7 @@ class Searcher(spark: SparkSession, indexDir: String,
         val deadDf = broadcast(dead.toSeq.toDF("q"))
         val w = Window.partitionBy("q")
           .orderBy($"dist".asc, $"df".desc, $"term".asc)
-        dict
-          .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+        dictByTerm
           .join(deadDf,
             length($"term").between(length($"q") - maxEdits,
               length($"q") + maxEdits) &&
@@ -1063,8 +1070,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val norm = Tokenize.tokenize(prefix)
     require(norm.length == 1,
       s"prefix must normalize to one token, got ${norm.toSeq} from '$prefix'")
-    dict.filter($"term".startsWith(norm.head))
-      .groupBy("term").agg(sum($"df").as("df")) // df summed over base+deltas
+    dictByTerm.filter($"term".startsWith(norm.head))
       .orderBy($"df".desc, $"term".asc)
       .limit(maxExpand)
       .select("term").as[String].collect().toSeq
@@ -1301,17 +1307,20 @@ class Searcher(spark: SparkSession, indexDir: String,
   def significantTerms(query: String, n: Int, minFgDf: Int = 1): DataFrame = {
     graft.functions.VByteFunctions.register(spark)
     val matchSet = matchingDocs(query)
-    val dps = meta.docsPerShard
-    // distinct matching shards: bounded by the shard count (driver-sized by
-    // the same argument as every shard-set collect in this class). One
-    // evaluation of the match set here, one in the result plan — the match
-    // set is two pushed-down postings scans, cheap next to the fg decode,
-    // so no cache is pinned across the caller's action.
-    val matchShards = matchSet
-      .select(($"docId" / dps).cast("int").as("shard"))
-      .distinct().as[Int].collect().toSeq.sorted
     val empty = Seq.empty[(String, Long, Long, Double)]
       .toDF("term", "fg_df", "bg_df", "score")
+    // candidate shards from the DRIVER-SIDE term-shard satisfiability
+    // intersection (the same cache every search path uses) instead of a
+    // separate Spark job distinct-collecting the match set's shards (r6: one
+    // whole job removed). A superset of the true match shards — segments of
+    // a shard with no matching docs join to nothing, so the result is
+    // unchanged; only the scan may read a few extra shards.
+    val terms = Tokenize.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return empty
+    val info = lookupTerms(terms)
+    if (terms.exists(t => info(t).df == 0L)) return empty
+    val matchShards = terms.map(t => info(t).shards)
+      .reduce(Searcher.intersectSorted).toSeq
     if (matchShards.isEmpty) return empty
     val fg = postings
       .filter($"shard".isin(matchShards: _*) &&
@@ -1320,13 +1329,21 @@ class Searcher(spark: SparkSession, indexDir: String,
       .join(matchSet, "docId")
       .groupBy("term").agg(count(lit(1)).as("fg_df"))
       .filter($"fg_df" >= minFgDf)
-    val bg = dict.groupBy("term").agg(sum($"df").as("bg_df"))
+    // bg df: with a single index dir the dictionary's term rows are already
+    // unique — the groupBy(sum) re-aggregation (an exchange over the whole
+    // dictionary) is needed only when base+delta dicts both carry the term
+    val bg =
+      if (allDirs.size == 1) dict.select($"term", $"df".cast("long").as("bg_df"))
+      else dict.groupBy("term").agg(sum($"df").as("bg_df"))
     // fgTotal rides the plan as a 1-row broadcast join — no driver count()
     val totals = matchSet.agg(count(lit(1)).cast("double").as("fg_total"))
     val nDocs = meta.numDocs
     val fgPct = $"fg_df".cast("double") / $"fg_total"
     val bgPct = $"bg_df".cast("double") / lit(nDocs.toDouble)
-    fg.join(bg, "term")
+    // shuffled-hash instead of sort-merge: both sides are term-keyed
+    // aggregates (fg bounded by the dictionary, bg the dictionary itself) —
+    // hashing one side per partition beats sorting both (guide §3.1)
+    fg.join(bg.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(totals))
       .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
       .orderBy($"score".desc, $"term".asc)
@@ -1474,23 +1491,23 @@ class Searcher(spark: SparkSession, indexDir: String,
     * `collapse` analog): the single BEST-scoring document per value of a
     * docs-table column, ranked by that best score — `(<groupCol>, docId,
     * score)`, top-k groups. Scores come from [[scoredMatches]] (bit-exact
-    * vs the kernel); the best-per-group pick is a window `row_number` over
-    * (score desc, docId asc) inside each group — one shuffle by group key
-    * over the match set, then a global TakeOrdered of k rows.
+    * vs the kernel); the best-per-group pick is a HASH AGGREGATION (r6;
+    * the r5 plan was `row_number` over `Window.partitionBy(groupCol)`,
+    * which moves the ENTIRE match set into ≤ |groups| partitions and sorts
+    * it — a skew scale-killer on a low-cardinality group column): `max` of
+    * the struct (score, −docId) picks exactly the rank-1 row of
+    * (score desc, docId asc) per group, with map-side partial aggregation
+    * and no per-group sort, then a global TakeOrdered of k rows.
     */
-  def searchCollapse(query: String, k: Int, groupCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy($"score".desc, $"docId".asc)
+  def searchCollapse(query: String, k: Int, groupCol: String): DataFrame =
     scoredMatches(query)
       .join(docs, "docId")
       .select(col(groupCol), $"docId", $"score")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .drop("rn")
+      .groupBy(col(groupCol))
+      .agg(max(struct($"score", (-$"docId").as("negId"))).as("best"))
+      .select(col(groupCol), (-$"best.negId").as("docId"), $"best.score".as("score"))
       .orderBy($"score".desc, $"docId".asc)
       .limit(k)
-  }
 
   /** Disjunctive scoring over an explicit, sorted term set. */
   private def searchOrTerms(terms: Seq[String], k: Int): Dataset[Hit] = {
@@ -2613,7 +2630,12 @@ object Searcher {
       else BoolQuery.boundWeights(tree).map { case (w, c) =>
         (Array.tabulate(n)(i => w.getOrElse(present(i), 0.0)), c)
       }
-    @inline def inflate(x: Double): Double = x + 1e-12 * x
+    // r6 (ADVICE): the reorder error grows as (n−1)·ε·Σ, so a FIXED 1e-12
+    // slack is only valid while n ≲ 4500 — scale the margin with the list
+    // count (identical to 1e-12 below that, so ranking bits are unchanged;
+    // wider trees get a still-negligible but now provably-admissible slack)
+    val inflFrac: Double = math.max(1e-12, (n + 1) * 2.3e-16)
+    @inline def inflate(x: Double): Double = x + inflFrac * x
     val wArr: Array[Double] = affine.map(_._1).orNull
     val wConst: Double = affine.map(_._2).getOrElse(0.0)
     // uninflated affine total — per-candidate bounds derive from it by

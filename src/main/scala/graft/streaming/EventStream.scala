@@ -31,6 +31,31 @@ object EventStream {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Start the memory-sink stream, drain it, optionally wait for the
+    * append-mode eviction batch, stop, and return the result table. The
+    * checkpoint (offsets + state store commits — several files per
+    * micro-batch per shuffle partition) goes under `spark.local.dir` when
+    * the session sets one (the bench points it at tmpfs) instead of
+    * Spark's default temp dir on `/tmp` — pure I/O placement, the result
+    * is byte-identical (r6, guide §6).
+    */
+  private def runStream(spark: SparkSession, agg: DataFrame, name: String,
+                        mode: String, awaitEvict: Boolean): DataFrame = {
+    val ck = spark.conf.getOption("spark.local.dir")
+      .map(_.split(",")(0)).map(d => s"$d/psispark-ckpt-$name")
+    var w = agg.writeStream.outputMode(mode).format("memory").queryName(name)
+    ck.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    try {
+      q.processAllAvailable()
+      if (awaitEvict) awaitEvictionBatch(q, name)
+    } finally {
+      q.stop()
+      ck.foreach(graft.FsUtil.deleteRecursively)
+    }
+    spark.table(name)
+  }
+
   /** 5-minute tumbling-window counts/sums per event_type. Runs the stream to
     * completion over the static parquet and returns the result table.
     */
@@ -42,13 +67,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
     val name = s"stream_events_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    runStream(spark, agg, name, "complete", awaitEvict = false)
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -73,16 +92,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
     val name = s"stream_events_append_${counter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-      awaitEvictionBatch(q, "windowedEventAggAppend")
-    } finally q.stop()
-    spark.table(name)
+    runStream(spark, agg, name, "append", awaitEvict = true)
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
       .orderBy("win_start", "event_type")
@@ -115,17 +125,12 @@ object EventStream {
     val agg = sessionAgg(
       readEvents(spark, sfDir).withWatermark("ts", watermark), gap)
     val name = s"stream_sessions_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
-    try {
-      q.processAllAvailable()
-      // append-mode eviction happens in a NO-DATA micro-batch after the last
-      // data batch (the watermark only advances at batch end), and
-      // processAllAvailable doesn't wait for it — block until a committed
-      // batch with zero input rows proves the eviction pass ran
-      awaitEvictionBatch(q, "sessionizeStream")
-    } finally q.stop()
-    spark.table(name).orderBy("user_id", "sess_start")
+    // append-mode eviction happens in a NO-DATA micro-batch after the last
+    // data batch (the watermark only advances at batch end), and
+    // processAllAvailable doesn't wait for it — runStream blocks until a
+    // committed batch with zero input rows proves the eviction pass ran
+    runStream(spark, agg, name, "append", awaitEvict = true)
+      .orderBy("user_id", "sess_start")
   }
 
   /** Block until a committed micro-batch with ZERO input rows proves the
@@ -181,10 +186,8 @@ object EventStream {
       .toDF("user_id", "n_events", "sum_value")
       .withColumn("sum_value", round(col("sum_value"), 4))
     val name = s"stream_state_${counter.incrementAndGet()}"
-    val q = updated.writeStream.outputMode("update").format("memory")
-      .queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name).orderBy("user_id")
+    runStream(spark, updated, name, "update", awaitEvict = false)
+      .orderBy("user_id")
   }
 
   /** Per-user hourly activity (tumbling window). For genuine custom state
@@ -198,10 +201,7 @@ object EventStream {
       .groupBy(col("user_id"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), approx_count_distinct("event_type").as("kinds"))
     val name = s"stream_users_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    runStream(spark, agg, name, "complete", awaitEvict = false)
       .select(col("user_id"), col("window.start").as("win_start"), col("n"))
       .orderBy("user_id", "win_start")
   }
@@ -223,13 +223,7 @@ object EventStream {
       .groupBy(col("user_id"), window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n"), approx_count_distinct("event_type").as("kinds"))
     val name = s"stream_users_append_${counter.incrementAndGet()}"
-    val q = agg.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
-    try {
-      q.processAllAvailable()
-      awaitEvictionBatch(q, "perUserActivityAppend")
-    } finally q.stop()
-    spark.table(name)
+    runStream(spark, agg, name, "append", awaitEvict = true)
       .select(col("user_id"), col("window.start").as("win_start"), col("n"))
       .orderBy("user_id", "win_start")
   }
