@@ -548,8 +548,12 @@ object Main {
             // contract over the engine's expansion
             else if (pphraseMode) {
               val toks = graft.index.Tokenize.tokenize(q)
+              // expansion cap passed EXPLICITLY so this oracle can never
+              // silently diverge from searchPhrasePrefix's default
               OracleBm25.topKMultiPhrase(files,
-                toks.init.map(Seq(_)).toSeq :+ searcher.expandPrefix(toks.last), k)
+                toks.init.map(Seq(_)).toSeq :+
+                  searcher.expandPrefix(toks.last,
+                    maxExpand = graft.query.Searcher.DefaultMaxExpand), k)
             }
             else if (wildcardMode) OracleBm25.topKOr(files,
               searcher.expandWildcard(q).mkString(" "), k)

@@ -154,6 +154,7 @@ object Similarity {
     */
   def trainCentroids(c: DataFrame, nlist: Int, iters: Int = 2,
                      trainSampleMod: Int = 1): DataFrame = {
+    val spark = c.sparkSession
     val sample =
       if (trainSampleMod <= 1) c
       else c.filter(pmod(xxhash64(col("id")), lit(trainSampleMod.toLong)) === 0)
@@ -164,13 +165,21 @@ object Similarity {
       val assigned = sample.crossJoin(broadcast(centroidRow(cents)))
         .select(col("v"),
           array_max(centScores(col("v"), col("cents"))).getField("cid").as("cid"))
-      // element-wise mean per cluster: explode by position, avg, re-assemble
-      cents = assigned
+      // element-wise mean per cluster: explode by position, avg, re-assemble.
+      // r6: each iteration MATERIALIZES its centroid table (nlist × dim
+      // doubles — driver-sized by construction, the stored-model shape) so
+      // the next iteration's plan starts from a flat local relation instead
+      // of re-nesting the whole previous iteration under its broadcast —
+      // the per-(cid, pos) averages are computed by the identical
+      // aggregation, so the trained values are unchanged.
+      val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
           p => p.getField("x")).as("cv"))
+      cents = spark.createDataFrame(
+        spark.sparkContext.parallelize(next.collect().toSeq, 1), next.schema)
     }
     cents
   }

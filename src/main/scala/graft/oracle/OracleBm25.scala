@@ -195,6 +195,10 @@ object OracleBm25 {
     val empty = Seq.empty[(Long, Double)].toDF("docId", "score")
     if (tokens.isEmpty) return empty
     if (exToks.isEmpty) return topKPhrase(files, phrase, k, k1, b)
+    // mirror the engine's searchSpanNot contract: a multi-token exclude is
+    // rejected loudly rather than silently narrowing to its first token
+    require(exToks.length == 1,
+      s"span-not exclude must normalize to one token, got ${exToks.toSeq} from '$exclude'")
     val withId = files.withColumn("docId",
       (row_number().over(Window.orderBy("repo", "path", "commit")) - 1).cast("long"))
     val ptoks = withId

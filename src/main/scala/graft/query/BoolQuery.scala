@@ -736,6 +736,75 @@ object BoolQuery {
     walk(q)
   }
 
+  /** Cap on the affine-form set of [[boundWeightsMax]] — beyond it the
+    * generic tree walk is cheaper than the scalar max anyway.
+    */
+  val MaxBoundForms: Int = 16
+
+  /** r6 (VERDICT #3): [[boundWeights]] generalized to DISMAX-BEARING trees.
+    * [[upperBound]] of a tree with DisMax nodes is a MAX of affine forms of
+    * the leaf ceilings: a DisMax bound `(1−tie)·maxᵢUᵢ + tie·ΣⱼUⱼ` is
+    * `maxᵢ[(1−tie)·Uᵢ + tie·ΣⱼUⱼ]` — one affine form per max-slot choice —
+    * and sums (And/Or/Msm) / scales (Boost) of max-of-affine sets stay
+    * max-of-affine via the cross product (`max` distributes over independent
+    * sums: max over choices of Σ fᵢ = Σ maxᵢ). Returns the form set whose
+    * pointwise MAX equals `upperBound` for every leaf-ceiling assignment
+    * (up to float reorder — callers inflate exactly as for [[boundWeights]]),
+    * or None when the set would exceed [[MaxBoundForms]] (deep DisMax
+    * nesting) or the tree holds unexpanded multi-term leaves. A DisMax-free
+    * tree yields the singleton [[boundWeights]] form.
+    */
+  def boundWeightsMax(q: BoolQ): Option[Vector[(Map[String, Double], Double)]] = {
+    type Form = (Map[String, Double], Double)
+    def add(a: Form, b: Form): Form =
+      (b._1.foldLeft(a._1) { case (m, (t, w)) =>
+        m.updated(t, m.getOrElse(t, 0.0) + w) }, a._2 + b._2)
+    def scale(a: Form, f: Double): Form =
+      (a._1.map { case (t, w) => t -> w * f }, a._2 * f)
+    // cross-product sum of form sets, capped
+    def cross(xs: Vector[Vector[Form]]): Option[Vector[Form]] =
+      xs.foldLeft(Option(Vector((Map.empty[String, Double], 0.0)))) { (acc, s) =>
+        acc.flatMap { fs =>
+          val out = for (a <- fs; b <- s) yield add(a, b)
+          if (out.length > MaxBoundForms) None else Some(out)
+        }
+      }
+    def walk(q: BoolQ): Option[Vector[Form]] = q match {
+      case Term(t) => Some(Vector(Map(t -> 1.0) -> 0.0))
+      case Phrase(ts) => Some(Vector(ts.distinct.map(_ -> 1.0).toMap -> 0.0))
+      case And(xs) => traverse(xs).flatMap(cross)
+      case Or(xs) => traverse(xs).flatMap(cross)
+      case Msm(xs, _) => traverse(xs).flatMap(cross)
+      case Not(_) => Some(Vector(Map.empty[String, Double] -> 0.0))
+      case Const(_, v) => Some(Vector(Map.empty[String, Double] -> v))
+      case Boost(x, f) => walk(x).map(_.map(scale(_, f)))
+      case DisMax(xs, tie) =>
+        traverse(xs).flatMap { sets =>
+          if (tie == 1.0) cross(sets) // pure sum — one form set
+          else {
+            // sumPart: tie-scaled cross sum over ALL children; max slot i
+            // adds (1−tie)·fᵢ for each fᵢ — choices are independent, so the
+            // pointwise max equals (1−tie)·maxᵢUᵢ + tie·ΣⱼUⱼ exactly
+            val scaled = sets.map(_.map(scale(_, tie)))
+            cross(scaled).flatMap { sums =>
+              val out = for {
+                i <- sets.indices.toVector
+                fi <- sets(i)
+                g <- sums
+              } yield add(scale(fi, 1.0 - tie), g)
+              if (out.isEmpty || out.length > MaxBoundForms) None else Some(out)
+            }
+          }
+        }
+      case q @ (Wild(_) | Fuzzy(_, _)) => unexpanded(q)
+    }
+    def traverse(xs: Vector[BoolQ]): Option[Vector[Vector[Form]]] =
+      xs.foldLeft(Option(Vector.empty[Vector[Form]])) {
+        (acc, x) => acc.flatMap(v => walk(x).map(v :+ _))
+      }
+    walk(q)
+  }
+
   /** Evaluate match + score for one document. `score(t)` must only be
     * called for present terms. Returns NaN when unmatched (callers test
     * with [[matches]] first or use [[evalScore]]'s contract: a matched

@@ -107,19 +107,16 @@ class Searcher(spark: SparkSession, indexDir: String,
     tombstoneDf match {
       case None => spark.emptyDataset[PostingSeg]
       case Some(ts) =>
+        // r6: runs are packed per scan partition after a LOCAL sort — no
+        // groupByKey exchange. A shard split across partitions yields
+        // several partial runs; [[Searcher.decodeDeleted]] merges arbitrary
+        // partials (distinct + sort), so correctness is unconditional.
         ts.filter($"shard".isin(candShards: _*))
           .select($"docId", $"shard")
+          .sortWithinPartitions($"shard", $"docId")
           .as[(Long, Int)]
-          .groupByKey(_._2)
-          .mapGroups { (shard, it) =>
-            val ids = it.map(_._1).toArray.sorted
-            val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
-            val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
-            PostingSeg(Searcher.DeletedTerm, shard, ids.length, 0L,
-              Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
-              firsts, new Array[Float](nBlocks),
-              new Array[Int](nBlocks), new Array[Int](nBlocks))
-          }
+          .mapPartitions(it =>
+            Searcher.packRuns(Searcher.DeletedTerm, it, sumTfPerId = false))
     }
 
   /** Driver-side term metadata cache: df (global, summed over base+deltas)
@@ -330,22 +327,22 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (candShards.isEmpty) return spark.emptyDataset[Hit]
 
     // the filter list: a metadata-only scan of the docs table, packed into
-    // ordinary posting segments (tf = 1, admissible block bound = 0)
+    // ordinary posting segments (tf = 1, admissible block bound = 0).
+    // r6: packed per scan partition after a LOCAL sort — no groupByKey
+    // exchange per query (the r5 plan shuffled the filtered ids by shard
+    // before the cogroup). Partial runs of one shard from different scan
+    // partitions may interleave (docs.parquet row order is layout-
+    // dependent), so the scoring cogroup below merges the shard's partials
+    // order-independently (decode → merge-sort → re-encode, shard-bounded)
+    // before they reach the kernel.
     val dps = meta.docsPerShard
     val filterSegs = docs.filter(predicate)
       .select($"docId", (($"docId" / dps).cast("int")).as("shard"))
       .filter($"shard".isin(candShards.toSeq: _*))
+      .sortWithinPartitions($"shard", $"docId")
       .as[(Long, Int)]
-      .groupByKey(_._2)
-      .mapGroups { (shard, it) =>
-        val ids = it.map(_._1).toArray.sorted
-        val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
-        val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
-        PostingSeg(Searcher.FilterTerm, shard, ids.length, ids.length,
-          Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
-          firsts, new Array[Float](nBlocks),
-          new Array[Int](nBlocks), new Array[Int](nBlocks))
-      }
+      .mapPartitions(it =>
+        Searcher.packRuns(Searcher.FilterTerm, it, sumTfPerId = true))
 
     val segsC = postings.filter($"term".isin(terms: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
@@ -364,7 +361,15 @@ class Searcher(spark: SparkSession, indexDir: String,
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
-        val segsByTerm = rest.groupBy(_.term)
+        val segsByTerm0 = rest.groupBy(_.term)
+        // packRuns partials of the filter list may interleave across scan
+        // partitions — merge them order-independently into ONE run before
+        // the kernel (decodeTermList requires interval-disjoint segments)
+        val segsByTerm = segsByTerm0.get(Searcher.FilterTerm) match {
+          case Some(fs) if fs.length > 1 => segsByTerm0.updated(
+            Searcher.FilterTerm, Array(Searcher.mergeZeroBoundRuns(fs)))
+          case _ => segsByTerm0
+        }
         // the filter list must be present too (a shard with no matching
         // docs has no filter segment → early exit, AND semantics)
         if (segsByTerm.size < termsAll.length || !lenIt.hasNext) Iterator.empty
@@ -578,7 +583,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     * Requires a positional index.
     */
   def searchPhrasePrefix(query: String, k: Int,
-                         maxExpand: Int = 64): Dataset[Hit] = {
+                         maxExpand: Int = Searcher.DefaultMaxExpand): Dataset[Hit] = {
     val toks = Tokenize.tokenize(query)
     require(toks.nonEmpty, s"phrase-prefix needs at least one token: '$query'")
     val expansion = expandPrefix(toks.last, maxExpand)
@@ -1631,6 +1636,12 @@ class Searcher(spark: SparkSession, indexDir: String,
 
 object Searcher {
 
+  /** Shared default expansion cap for multi-term rewrites (prefix/wildcard/
+    * regex/fuzzy/range) — ONE constant so engine paths and CLI oracles can
+    * reference the same value instead of coincidentally-equal literals.
+    */
+  val DefaultMaxExpand: Int = 64
+
   /** Default bound on the driver-side term-metadata LRU (~100 B/entry). */
   val DefaultTermCacheCap: Int = 1 << 20
 
@@ -1772,6 +1783,59 @@ object Searcher {
       x += 1
     }
     PosList(l.term, nd, nt, flat, off)
+  }
+
+  /** Pack locally-(shard, docId)-sorted rows into zero-score posting runs
+    * WITHOUT any exchange (r6; filter and tombstone lists previously paid a
+    * groupByKey shuffle per query): consecutive ascending same-shard rows
+    * form one delta-compressed run; a shard split across scan partitions
+    * yields several partial runs, merged at decode time
+    * ([[decodeTermList]] for interval-disjoint filter runs,
+    * [[decodeDeleted]] for arbitrary tombstone partials). Zero block
+    * bounds keep the runs admissible under every pruning rule (idf 0).
+    * `sumTfPerId` matches the historical segment headers: filter lists
+    * carry sumTf = n, exclusion lists sumTf = 0.
+    */
+  private[graft] def packRuns(term: String, it: Iterator[(Long, Int)],
+                              sumTfPerId: Boolean): Iterator[PostingSeg] = {
+    val buf = it.buffered
+    new Iterator[PostingSeg] {
+      def hasNext: Boolean = buf.hasNext
+      def next(): PostingSeg = {
+        val (d0, shard) = buf.next()
+        val ids = Array.newBuilder[Long]
+        ids += d0
+        var prev = d0
+        while (buf.hasNext && buf.head._2 == shard && buf.head._1 > prev) {
+          prev = buf.next()._1
+          ids += prev
+        }
+        val arr = ids.result()
+        val nBlocks = (arr.length + Codec.BlockSize - 1) / Codec.BlockSize
+        val firsts = Array.tabulate(nBlocks)(bi => arr(bi * Codec.BlockSize))
+        PostingSeg(term, shard, arr.length,
+          if (sumTfPerId) arr.length.toLong else 0L,
+          Codec.encodeDeltas(arr), Codec.encodeInts(Array.fill(arr.length)(1)),
+          firsts, new Array[Float](nBlocks),
+          new Array[Int](nBlocks), new Array[Int](nBlocks))
+      }
+    }
+  }
+
+  /** Merge a shard's [[packRuns]] partials — which may INTERLEAVE across
+    * scan partitions (row order of the source table is layout-dependent) —
+    * into one sorted zero-bound run. Order-independent by construction:
+    * decode everything, sort, re-encode. Shard-bounded work.
+    */
+  private[graft] def mergeZeroBoundRuns(fs: Array[PostingSeg]): PostingSeg = {
+    val ids = fs.flatMap(s => Codec.decodeDeltas(s.docBytes, s.n)).sorted
+    val nBlocks = (ids.length + Codec.BlockSize - 1) / Codec.BlockSize
+    val firsts = Array.tabulate(nBlocks)(bi => ids(bi * Codec.BlockSize))
+    PostingSeg(fs.head.term, fs.head.shard, ids.length,
+      fs.map(_.sumTf).sum,
+      Codec.encodeDeltas(ids), Codec.encodeInts(Array.fill(ids.length)(1)),
+      firsts, new Array[Float](nBlocks),
+      new Array[Int](nBlocks), new Array[Int](nBlocks))
   }
 
   /** Decode + merge a shard's tombstone segments into one sorted docId
@@ -2625,19 +2689,30 @@ object Searcher {
     // orders of magnitude over by the stored blockMax float-up margin —
     // the 1e-12 inflation makes the slack explicit. Inflating a bound only
     // weakens pruning, never admissibility.
-    val affine: Option[(Array[Double], Double)] =
+    // r6 (VERDICT #3): the affine fast path now also covers DISMAX-BEARING
+    // trees — upperBound there is a MAX of affine forms (one per DisMax
+    // max-slot choice, boundWeightsMax), so per-candidate bounds stay
+    // scalar loops (K ≤ MaxBoundForms accumulators) instead of tree
+    // re-walks with hashed leaf lookups. A DisMax-free tree yields K = 1
+    // and takes the unchanged single-form path.
+    val affineForms: Option[Vector[(Array[Double], Double)]] =
       if (!pruning) None
-      else BoolQuery.boundWeights(tree).map { case (w, c) =>
+      else BoolQuery.boundWeightsMax(tree).map(_.map { case (w, c) =>
         (Array.tabulate(n)(i => w.getOrElse(present(i), 0.0)), c)
-      }
+      })
     // r6 (ADVICE): the reorder error grows as (n−1)·ε·Σ, so a FIXED 1e-12
     // slack is only valid while n ≲ 4500 — scale the margin with the list
     // count (identical to 1e-12 below that, so ranking bits are unchanged;
     // wider trees get a still-negligible but now provably-admissible slack)
     val inflFrac: Double = math.max(1e-12, (n + 1) * 2.3e-16)
     @inline def inflate(x: Double): Double = x + inflFrac * x
-    val wArr: Array[Double] = affine.map(_._1).orNull
-    val wConst: Double = affine.map(_._2).getOrElse(0.0)
+    val single = affineForms.filter(_.length == 1).map(_.head)
+    val wArr: Array[Double] = single.map(_._1).orNull
+    val wConst: Double = single.map(_._2).getOrElse(0.0)
+    val multi = affineForms.filter(_.length > 1)
+    val wForms: Array[Array[Double]] = multi.map(_.map(_._1).toArray).orNull
+    val wFormC: Array[Double] = multi.map(_.map(_._2).toArray).orNull
+    val nForms: Int = if (wForms == null) 0 else wForms.length
     // uninflated affine total — per-candidate bounds derive from it by
     // swapping single-list contributions, then inflate at the comparison
     val affineTotal: Double =
@@ -2647,10 +2722,22 @@ object Searcher {
         while (i < n) { s += wArr(i) * listMaxUb(i); i += 1 }
         s
       }
+    // per-form totals for the multi-form (DisMax) path
+    val formTotals: Array[Double] =
+      if (wForms == null) null
+      else Array.tabulate(nForms) { kf =>
+        var s = wFormC(kf); var i = 0
+        while (i < n) { s += wForms(kf)(i) * listMaxUb(i); i += 1 }
+        s
+      }
     val constUb: Double =
       if (!pruning) Double.PositiveInfinity
       else if (wArr != null) inflate(affineTotal)
-      else
+      else if (wForms != null) {
+        var m = formTotals(0); var kf = 1
+        while (kf < nForms) { if (formTotals(kf) > m) m = formTotals(kf); kf += 1 }
+        inflate(m)
+      } else
         BoolQuery.upperBound(tree, t => byTerm.get(t).map(listMaxUb).getOrElse(0.0))
 
     val heap = mutable.PriorityQueue.empty[Hit](
@@ -2698,7 +2785,17 @@ object Searcher {
               // current block's
               inflate(affineTotal - wArr(leadIdx) * listMaxUb(leadIdx)
                 + wArr(leadIdx) * (lead.idfK1p1 * lead.blockMax(li >>> 7)))
-            else
+            else if (wForms != null) {
+              val delta =
+                lead.idfK1p1 * lead.blockMax(li >>> 7) - listMaxUb(leadIdx)
+              var mx = Double.NegativeInfinity; var kf = 0
+              while (kf < nForms) {
+                val v = formTotals(kf) + wForms(kf)(leadIdx) * delta
+                if (v > mx) mx = v
+                kf += 1
+              }
+              inflate(mx)
+            } else
               BoolQuery.upperBound(tree, t =>
                 if (t == leadTerm) lead.idfK1p1 * lead.blockMax(li >>> 7)
                 else byTerm.get(t).map(listMaxUb).getOrElse(0.0))
@@ -2718,6 +2815,15 @@ object Searcher {
                 var s = wConst; var j = 0
                 while (j < n) { if (has(j)) s += wArr(j) * curUb(j); j += 1 }
                 inflate(s)
+              } else if (wForms != null) {
+                var mx = Double.NegativeInfinity; var kf = 0
+                while (kf < nForms) {
+                  var s = wFormC(kf); var j = 0
+                  while (j < n) { if (has(j)) s += wForms(kf)(j) * curUb(j); j += 1 }
+                  if (s > mx) mx = s
+                  kf += 1
+                }
+                inflate(mx)
               } else
                 BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                   case Some(j) if has(j) => curUb(j)
@@ -2765,8 +2871,11 @@ object Searcher {
           var p = -1
           var i = 0
           // affine: the prefix bound is a running scalar sum — the classic
-          // WAND accumulator — instead of a tree re-walk per prefix step
+          // WAND accumulator — instead of a tree re-walk per prefix step;
+          // with DisMax forms, K accumulators and a running max
           var acc = wConst
+          val accF: Array[Double] =
+            if (wForms != null) java.util.Arrays.copyOf(wFormC, nForms) else null
           while (p < 0 && i < m && curDoc(order(i)) != Long.MaxValue) {
             inPrefix(order(i)) = true
             val ub =
@@ -2774,6 +2883,14 @@ object Searcher {
               else if (wArr != null) {
                 acc += wArr(order(i)) * listMaxUb(order(i))
                 inflate(acc)
+              } else if (wForms != null) {
+                var mx = Double.NegativeInfinity; var kf = 0
+                while (kf < nForms) {
+                  accF(kf) += wForms(kf)(order(i)) * listMaxUb(order(i))
+                  if (accF(kf) > mx) mx = accF(kf)
+                  kf += 1
+                }
+                inflate(mx)
               } else
                 BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                   case Some(j) if inPrefix(j) => listMaxUb(j)
@@ -2803,6 +2920,15 @@ object Searcher {
                   var s2 = wConst; var j2 = 0
                   while (j2 < n) { if (has(j2)) s2 += wArr(j2) * curUb(j2); j2 += 1 }
                   inflate(s2)
+                } else if (wForms != null) {
+                  var mx = Double.NegativeInfinity; var kf = 0
+                  while (kf < nForms) {
+                    var s2 = wFormC(kf); var j2 = 0
+                    while (j2 < n) { if (has(j2)) s2 += wForms(kf)(j2) * curUb(j2); j2 += 1 }
+                    if (s2 > mx) mx = s2
+                    kf += 1
+                  }
+                  inflate(mx)
                 } else
                   BoolQuery.upperBound(tree, t => byTerm.get(t) match {
                     case Some(j) if has(j) => curUb(j)

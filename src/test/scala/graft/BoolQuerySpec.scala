@@ -195,6 +195,36 @@ class BoolQuerySpec extends AnyFunSuite {
       s"hot boolean trees pruned nothing (scored=${s.candidatesScored.value})")
   }
 
+  test("dismax trees: multi-form affine path prunes, ranks stay exact") {
+    // r6 (VERDICT #3 done-criterion): DisMax-bearing trees now ride the
+    // max-of-affine-forms scalar bound path — hot dismax queries must still
+    // SKIP candidates (fewer exact evaluations than a pruning-off walk; the
+    // WAND branch skips via pivot galloping, which the `pruned` counter
+    // does not see) while every ranking stays bit-identical to the
+    // brute-force oracle
+    val qs = Seq(
+      "DISMAX (import def)",
+      "DISMAX 0.3 (util_7 (def val) class^1.5)",
+      "DISMAX 0.5 ((import def) (val class))",
+      "util_7 DISMAX 0.5 (def val)")
+    val on = new Searcher(spark, indexDir)
+    for (q <- qs) {
+      val tree = BoolQuery.parse(q)
+      assert(BoolQuery.boundWeightsMax(tree).exists(_.length > 1),
+        s"'$q' should take the multi-form path")
+      val g = on.searchBoolTree(tree, 5).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      assert(g == want(tree, 5), s"query '$q'")
+      assert(g.nonEmpty, s"vacuous pruning gate for '$q'")
+    }
+    val off = new Searcher(spark, indexDir)
+    off.forcePruningOff = true
+    for (q <- qs) off.searchBoolTree(BoolQuery.parse(q), 5).collect()
+    assert(on.candidatesScored.value < off.candidatesScored.value,
+      s"multi-form bounds skipped nothing (on=${on.candidatesScored.value} " +
+        s"off=${off.candidatesScored.value})")
+  }
+
   test("dismax: parser shape, tie validation") {
     assert(BoolQuery.parse("DISMAX 0.3 (a b)") ==
       DisMax(Vector(Term("a"), Term("b")), 0.3))
@@ -527,6 +557,58 @@ class BoolQuerySpec extends AnyFunSuite {
     assert(BoolQuery.boundWeights(
       And(Vector(Term("a"), DisMax(Vector(Term("b")), 0.5)))).isEmpty)
     intercept[IllegalStateException](BoolQuery.boundWeights(Wild("a*")))
+  }
+
+  test("max-of-affine-forms equals the tree-walk bound on DisMax trees") {
+    // r6 (VERDICT #3): boundWeightsMax's form set must satisfy
+    // max_k(form_k(ubs)) == upperBound(tree, ubs) for EVERY leaf-ceiling
+    // assignment — the kernels' multi-form scalar path relies on exactly
+    // this pointwise identity (plus the explicit inflate slack).
+    val rnd = new scala.util.Random(11)
+    val terms = Vector("a", "b", "c", "d", "e")
+    def randTree(depth: Int, dismaxOk: Boolean): BoolQ =
+      if (depth == 0) Term(terms(rnd.nextInt(terms.length)))
+      else rnd.nextInt(if (dismaxOk) 8 else 7) match {
+        case 0 => And(Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1, dismaxOk)))
+        case 1 => Or(Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1, dismaxOk)))
+        case 2 => Not(randTree(depth - 1, dismaxOk))
+        case 3 => Boost(randTree(depth - 1, dismaxOk), 0.25 + rnd.nextDouble() * 3)
+        case 4 => Const(randTree(depth - 1, dismaxOk), rnd.nextDouble() * 2)
+        case 5 => Msm(Vector.fill(3)(randTree(depth - 1, dismaxOk)), 1 + rnd.nextInt(3))
+        case 6 => Phrase(Vector("a", "b"))
+        case _ => DisMax(
+          Vector.fill(2 + rnd.nextInt(2))(randTree(depth - 1, dismaxOk)),
+          rnd.nextInt(3) match { case 0 => 0.0; case 1 => 1.0; case _ => rnd.nextDouble() })
+      }
+    var covered = 0
+    for (_ <- 1 to 400) {
+      // force at least one DisMax at the root level half the time
+      val t =
+        if (rnd.nextBoolean())
+          DisMax(Vector.fill(2 + rnd.nextInt(2))(randTree(2, dismaxOk = true)),
+            rnd.nextDouble())
+        else randTree(2 + rnd.nextInt(2), dismaxOk = true)
+      BoolQuery.boundWeightsMax(t).foreach { forms =>
+        covered += 1
+        assert(forms.length <= BoolQuery.MaxBoundForms)
+        for (_ <- 1 to 5) {
+          val ubs = terms.map(_ -> rnd.nextDouble() * 5).toMap
+          val mx = forms.map { case (w, c) =>
+            w.map { case (tm, wt) => wt * ubs(tm) }.sum + c }.max
+          val walk = BoolQuery.upperBound(t, ubs)
+          assert(math.abs(mx - walk) <= 1e-9 * math.max(1.0, walk),
+            s"tree $t: forms-max $mx vs walk $walk")
+        }
+      }
+    }
+    assert(covered > 100, s"only $covered trees decomposed — cap too tight?")
+    // DisMax-free trees must degenerate to the singleton boundWeights form
+    val t0 = And(Vector(Term("a"), Or(Vector(Term("b"), Term("c")))))
+    assert(BoolQuery.boundWeightsMax(t0).get.length == 1)
+    assert(BoolQuery.boundWeightsMax(t0).get.head == BoolQuery.boundWeights(t0).get)
+    // a bench-shaped DisMax tree decomposes into one form per max slot
+    val dm = DisMax(Vector(Term("a"), And(Vector(Term("b"), Term("c")))), 0.3)
+    assert(BoolQuery.boundWeightsMax(dm).get.length == 2)
   }
 
   test("multi-term leaves: parser shape and validation") {
