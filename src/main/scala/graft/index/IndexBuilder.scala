@@ -1197,17 +1197,33 @@ object IndexBuilder {
     }
 
     stages.run("dlens") {
+      // r6: per-shard length arrays are packed MAP-SIDE (one partial
+      // zero-filled array per scan-partition × shard) and overlay-merged
+      // per shard — the exchange carries a few hundred array rows instead
+      // of one row per document. Order-independent: a docId writes its own
+      // slot, zeros elsewhere, and mergeLens overlays non-zero slots.
+      val ndLocal = nd
       docsDf
-        .select($"docId", $"dlen", (($"docId" / dps).cast("int")).as("shard"))
-        .as[(Long, Int, Int)]
-        .groupByKey(_._3)
-        .mapGroups { (shard, it) =>
-          val first = shard.toLong * dps
-          val size = math.min(dps.toLong, nd - first).toInt
-          val lens = new Array[Int](size)
-          it.foreach { case (docId, dlen, _) => lens((docId - first).toInt) = dlen }
-          ShardLens(shard, first, lens)
+        .select($"docId", $"dlen")
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          val m = new java.util.HashMap[Int, Array[Int]]()
+          it.foreach { case (docId, dlen) =>
+            val shard = (docId / dps).toInt
+            var arr = m.get(shard)
+            if (arr == null) {
+              val first = shard.toLong * dps
+              arr = new Array[Int](math.min(dps.toLong, ndLocal - first).toInt)
+              m.put(shard, arr)
+            }
+            arr((docId - shard.toLong * dps).toInt) = dlen
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet().iterator().asScala.map(e =>
+            ShardLens(e.getKey, e.getKey.toLong * dps, e.getValue))
         }
+        .groupByKey(_.shard)
+        .mapGroups((_, it) => graft.query.Searcher.mergeLens(it))
         .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/dlens.parquet")
       phase("dlens-write")
     }

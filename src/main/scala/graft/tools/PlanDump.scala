@@ -65,6 +65,8 @@ object PlanDump {
       dump("synonym", searcher.searchSynonym(Seq("util_7", "util_17"), 10).toDF())
       dump("batch",
         searcher.searchBatch(Seq(("a", "import util_7", 10), ("b", "def class", 10))))
+      dump("filtered",
+        searcher.searchWhere("import util_7", 10, col("lang") === "scala").toDF())
 
       val qmap = SparkEntry.queries
       for (name <- Seq("q_ann_ivf", "q_ann_topk", "q_sessionize",
