@@ -32,27 +32,21 @@ object EventStream {
   }
 
   /** Start the memory-sink stream, drain it, optionally wait for the
-    * append-mode eviction batch, stop, and return the result table. The
-    * checkpoint (offsets + state store commits — several files per
-    * micro-batch per shuffle partition) goes under `spark.local.dir` when
-    * the session sets one (the bench points it at tmpfs) instead of
-    * Spark's default temp dir on `/tmp` — pure I/O placement, the result
-    * is byte-identical (r6, guide §6).
+    * append-mode eviction batch, stop, and return the result table.
+    * Deliberately keeps Spark's AUTO-MANAGED temporary checkpoint: an
+    * explicit `checkpointLocation` was A/B-measured ~1 s SLOWER per run at
+    * bench scale (the managed temp path has a cheaper lifecycle), even when
+    * pointed at tmpfs — so the r6 attempt to relocate it was reverted on
+    * the measurement (guide §1: re-measure after each change).
     */
   private def runStream(spark: SparkSession, agg: DataFrame, name: String,
                         mode: String, awaitEvict: Boolean): DataFrame = {
-    val ck = spark.conf.getOption("spark.local.dir")
-      .map(_.split(",")(0)).map(d => s"$d/psispark-ckpt-$name")
-    var w = agg.writeStream.outputMode(mode).format("memory").queryName(name)
-    ck.foreach(c => w = w.option("checkpointLocation", c))
-    val q = w.start()
+    val q = agg.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
     try {
       q.processAllAvailable()
       if (awaitEvict) awaitEvictionBatch(q, name)
-    } finally {
-      q.stop()
-      ck.foreach(graft.FsUtil.deleteRecursively)
-    }
+    } finally q.stop()
     spark.table(name)
   }
 
@@ -143,7 +137,7 @@ object EventStream {
                                  who: String, timeoutSec: Int = 30): Unit = {
     val deadline = System.nanoTime() + timeoutSec * 1000L * 1000 * 1000
     while ((q.lastProgress == null || q.lastProgress.numInputRows != 0) &&
-           System.nanoTime() < deadline) Thread.sleep(50)
+           System.nanoTime() < deadline) Thread.sleep(10)
     if (q.lastProgress == null || q.lastProgress.numInputRows != 0)
       throw new IllegalStateException(s"[$who] no zero-input micro-batch " +
         s"observed within $timeoutSec s — watermark eviction did not run, " +
