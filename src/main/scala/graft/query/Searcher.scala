@@ -88,6 +88,49 @@ class Searcher(spark: SparkSession, indexDir: String,
     if (allDirs.size == 1) dict.select($"term", $"df")
     else dict.groupBy("term").agg(sum($"df").as("df"))
 
+  /** In-memory per-shard document-length rows (the Lucene norms-in-RAM
+    * analog), loaded lazily and broadcast ONCE per Searcher when the whole
+    * corpus's norms fit a fixed byte cap (numDocs × 4 B ≤ 64 MB, i.e.
+    * ≤ ~16.7M docs): every query then runs as ONE grouped input instead of
+    * a two-sided cogroup — no per-query dlens scan and no second exchange
+    * branch (r6). Above the cap — the 100 TB regime, where norms are
+    * 0.4 B+ rows — [[cogroupLens]] falls back to the r5 cogroup against
+    * the pruned dlens scan, the scale-safe plan. The threshold is derived
+    * from DATA size, never core count; the index is immutable for the
+    * lifetime of a Searcher (the same argument as the term-metadata LRU),
+    * so the cache can never serve stale lengths.
+    */
+  private val DlensCacheMaxBytes = 64L << 20
+  private lazy val dlensCacheBc
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, ShardLens]]] =
+    if (meta.numDocs * 4L > DlensCacheMaxBytes) None
+    else {
+      val merged = dlens.as[ShardLens].collect().groupBy(_.shard)
+        .map { case (s, rs) => s -> Searcher.mergeLens(rs.iterator) }
+      Some(spark.sparkContext.broadcast(merged))
+    }
+
+  /** Per-shard scoring harness shared by every query path: group the
+    * fetched segments by shard and hand each shard's segments plus its
+    * dlens row(s) to `f` — via the broadcast norms cache (one grouped
+    * input) when it fits, else via the cogroup against the pruned dlens
+    * scan. `f` keeps the historical cogroup signature (the lens iterator
+    * carries 0..n partial rows; callers mergeLens) so both plans run the
+    * IDENTICAL shard kernel.
+    */
+  private def cogroupLens[S, T: org.apache.spark.sql.Encoder](
+      segs: Dataset[S], candShards: Seq[Int])(shardOf: S => Int)(
+      f: (Int, Iterator[S], Iterator[ShardLens]) => Iterator[T]): Dataset[T] =
+    dlensCacheBc match {
+      case Some(bc) =>
+        segs.groupByKey(shardOf).flatMapGroups { (shard: Int, it: Iterator[S]) =>
+          f(shard, it, bc.value.get(shard).iterator)
+        }
+      case None =>
+        val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
+        segs.groupByKey(shardOf).cogroup(lensC.groupByKey(_.shard))(f)
+    }
+
   /** Tombstoned (deleted) docs — parquet of (docId, shard) written by
     * `Tombstones.applyDeletes`. Lucene deletion semantics: deleted docs are
     * excluded from every query path, but df/avgdl remain those of the full
@@ -219,7 +262,6 @@ class Searcher(spark: SparkSession, indexDir: String,
     val segsC = postings.filter($"term".isin(terms: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
       .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val termsSorted = terms
@@ -227,7 +269,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val reB = needReBound
     val cursor = after
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
@@ -281,14 +323,13 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
       .unionByName(negSegs, allowMissingColumns = true)
       .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val termsSorted = terms
     val pruning = usePruning
     val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
@@ -348,7 +389,6 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
       .unionByName(filterSegs, allowMissingColumns = true)
       .unionByName(exclusionSegs(candShards.toSeq), allowMissingColumns = true)
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
 
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     // FilterTerm (leading space) sorts before every real token, preserving the
@@ -357,7 +397,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val pruning = usePruning
     val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
@@ -448,11 +488,10 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
       .unionByName(exclusionSegs(candShards.toSeq)
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (seqB, termsB, exB, preB, postB) = (tokenSeq, terms, ex, pre, post)
     val (accT, accS) = (shardsTouched, candidatesScored)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
@@ -489,11 +528,10 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
       .unionByName(exclusionSegs(candShards.toSeq)
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (seqB, termsB, endB) = (tokenSeq, terms, maxEnd)
     val (accT, accS) = (shardsTouched, candidatesScored)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
@@ -549,11 +587,10 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
       .unionByName(exclusionSegs(candShards.toSeq)
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val slotSeqB = slotKeys.zip(liveSlots)
     val (accT, accS) = (shardsTouched, candidatesScored)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
@@ -634,7 +671,6 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards.toSeq: _*)).as[PostingSegP]
       .unionByName(exclusionSegs(candShards.toSeq)
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
-    val lensC = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (termsB, winB) = (terms, window)
     // ordered mode: the query's token slots as indices into termsB — the
@@ -642,7 +678,7 @@ class Searcher(spark: SparkSession, indexDir: String,
     val slotsB: Array[Int] =
       if (ordered) seq.map(t => termsB.indexOf(t)).toArray else null
     val (accT, accS) = (shardsTouched, candidatesScored)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
@@ -771,13 +807,12 @@ class Searcher(spark: SparkSession, indexDir: String,
     val segsC = postings.filter($"term".isin(live: _*) &&
       $"shard".isin(candShards: _*)).as[PostingSeg]
       .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
-    val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val liveSorted = live
     val pruning = usePruning
     val reB = needReBound
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
@@ -813,11 +848,10 @@ class Searcher(spark: SparkSession, indexDir: String,
       $"shard".isin(candShards: _*)).as[PostingSegP]
       .unionByName(exclusionSegs(candShards)
         .withColumn("posBytes", lit(null).cast("binary")).as[PostingSegP])
-    val lensC = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (treeB, liveB, reqB, idfB) = (tree, live, required, idfByTerm)
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
-    val hits = segsC.groupByKey(_.shard).cogroup(lensC.groupByKey(_.shard)) {
+    val hits = cogroupLens(segsC, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del.map(s =>
@@ -1527,12 +1561,11 @@ class Searcher(spark: SparkSession, indexDir: String,
     val segs = postings.filter($"term".isin(present: _*) &&
       $"shard".isin(candShards.toSeq: _*)).as[PostingSeg]
       .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
-    val lensAll = dlens.filter($"shard".isin(candShards.toSeq: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val (accS, accP, accT) = (candidatesScored, candidatesPruned, shardsTouched)
     val pruning = usePruning
     val reB = needReBound
-    val hits = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
+    val hits = cogroupLens(segs, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
@@ -1590,12 +1623,11 @@ class Searcher(spark: SparkSession, indexDir: String,
     val segs = postings.filter($"term".isin(liveTerms: _*) &&
       $"shard".isin(candShards: _*)).as[PostingSeg]
       .unionByName(exclusionSegs(candShards), allowMissingColumns = true)
-    val lensAll = dlens.filter($"shard".isin(candShards: _*)).as[ShardLens]
     val (k1, b, avgdl) = (meta.k1, meta.b, meta.avgdl)
     val conj = conjunctive
     val pruningB = usePruning
     val reB = needReBound
-    val perShard = segs.groupByKey(_.shard).cogroup(lensAll.groupByKey(_.shard)) {
+    val perShard = cogroupLens(segs, candShards.toSeq)(_.shard) {
       (shard, segIt, lenIt) =>
         val (del, rest) = segIt.toArray.partition(_.term == Searcher.DeletedTerm)
         val deleted = Searcher.decodeDeleted(del)
